@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Generate a tiny synthetic ShapeNet-like .dd voxel dataset for smoke tests.
+
+Filenames follow the reference layout so the category filter's 5th '_'-token
+parse (data.py:146) works: e.g. ``x_y_z_w_03001627_0001.dd``.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from shapegen_tpu.data.dataset import save_dd  # noqa: E402
+
+SYNSETS = {"chair": "03001627", "airplane": "02691156", "table": "04379243"}
+
+
+def make_blob(rng: np.random.Generator, res: int = 32) -> np.ndarray:
+    """A random solid ellipsoid-ish occupancy grid."""
+    center = rng.uniform(10, 22, 3)
+    radii = rng.uniform(4, 10, 3)
+    zz, yy, xx = np.meshgrid(*([np.arange(res)] * 3), indexing="ij")
+    d = (
+        ((zz - center[0]) / radii[0]) ** 2
+        + ((yy - center[1]) / radii[1]) ** 2
+        + ((xx - center[2]) / radii[2]) ** 2
+    )
+    return (d < 1.0).astype(np.float32)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("out_dir")
+    parser.add_argument("--per-category", type=int, default=8)
+    parser.add_argument("--resolution", type=int, default=32)
+    parser.add_argument("--seed", type=int, default=24)
+    args = parser.parse_args()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    for cat, synset in SYNSETS.items():
+        for i in range(args.per_category):
+            grid = make_blob(rng, args.resolution)
+            name = f"shape_net_voxel_data_{synset}_{cat}_{i:04d}.dd"
+            save_dd(os.path.join(args.out_dir, name), grid)
+    print(f"wrote {args.per_category * len(SYNSETS)} files to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Train the point-cloud DDPM (reference: train_point_ddpm.py).
+
+Defaults mirror the reference's hardcoded constants (train_point_ddpm.py:
+33-48): 2048 points, batch 16, category ['chair'], no augmentations, 500
+epochs, seed 24 — but exposed as real flags instead of edit-the-constants.
+Output layout parity: checkpoints/point_ddpm/<timestamp>/..., TensorBoard
+under lightning_logs/point_cloud_diffusion, timestamped log file under
+train/logs/, and 10 post-training sample PNGs.
+"""
+
+import argparse
+import os
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import matplotlib.pyplot as plt  # noqa: E402
+
+from shapegen_tpu import models  # noqa: E402
+from shapegen_tpu.data import PointCloudDataDirectoryModule  # noqa: E402
+from shapegen_tpu.parallel import make_mesh  # noqa: E402
+from shapegen_tpu.train import Trainer, TrainerConfig, tasks  # noqa: E402
+from shapegen_tpu.train.factory import load_task_checkpoint  # noqa: E402
+from shapegen_tpu.utils import (  # noqa: E402
+    plot_point_cloud_2d,
+    plot_point_cloud_3d,
+    setup_logger,
+)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", default=os.path.join("data", "shape_net_voxel_data_v1"))
+    p.add_argument("--num-points", type=int, default=2048)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--categories", nargs="+", default=["chair"])
+    p.add_argument("--augmentations", action="store_true", default=False)
+    p.add_argument("--max-epochs", type=int, default=500)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--noise-schedule", default="cosine", choices=["cosine", "linear"])
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--time-dim", type=int, default=256)
+    p.add_argument("--seed", type=int, default=24)
+    p.add_argument("--checkpoint", default=None, help="resume from this ckpt")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--viz-samples", type=int, default=4,
+                   help="epoch-end generated-sample figures (0 disables)")
+    p.add_argument("--viz-steps", type=int, default=1000)
+    p.add_argument("--final-samples", type=int, default=10)
+    p.add_argument("--ckpt-root", default="checkpoints")
+    p.add_argument("--tb-dir", default="lightning_logs")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    os.makedirs(os.path.join("train", "logs"), exist_ok=True)
+    log_file = os.path.join("train", "logs", f"train_point_ddpm_log_{timestamp}.log")
+    logger = setup_logger(log_file, "train_point_ddpm")
+
+    data_module = PointCloudDataDirectoryModule(
+        args.data_dir,
+        num_points=args.num_points,
+        batch_size=args.batch_size,
+        file_mode="voxels",
+        output_mode="point_clouds",
+        augmentations=args.augmentations,
+        relevant_object_categories=args.categories,
+        seed=args.seed,
+    )
+
+    state = None
+    if args.checkpoint:
+        logger.info(f"Loading Diffusion model from checkpoint: {args.checkpoint}")
+        task, state, _ = load_task_checkpoint(
+            args.checkpoint, max_epochs=args.max_epochs
+        )
+        assert task.num_points == args.num_points
+    else:
+        model = models.PointUNetLarge(dim=args.dim, time_dim=args.time_dim)
+        task = tasks.PointDiffusionTask(
+            model, num_points=args.num_points, lr=args.lr,
+            noise_schedule=args.noise_schedule,
+        )
+
+    mesh = make_mesh(args.num_devices) if (args.num_devices or 1) > 1 else None
+
+    def on_epoch_end(trainer, state, epoch):
+        # Epoch-end sample figures (diffusion.py:339-358 parity).
+        if args.viz_samples <= 0:
+            return
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), 777 + epoch)
+        samples = task.sample(
+            state, key, args.viz_samples, args.num_points, args.viz_steps
+        )
+        for i, sample in enumerate(jax.device_get(samples)):
+            fig = plot_point_cloud_3d(sample)
+            trainer.add_figure(f"diffusion_generated_sample_3d_{i}", fig, epoch)
+            plt.close(fig)
+            fig = plot_point_cloud_2d(sample)
+            trainer.add_figure(f"diffusion_generated_sample_2d_{i}", fig, epoch)
+            plt.close(fig)
+
+    cfg = TrainerConfig(
+        max_epochs=args.max_epochs,
+        ckpt_dir=os.path.join(args.ckpt_root, "point_ddpm", timestamp),
+        ckpt_prefix="point_cloud_diffusion",
+        save_top_k=10,
+        tb_dir=args.tb_dir,
+        tb_name="point_cloud_diffusion",
+        seed=args.seed,
+    )
+    trainer = Trainer(
+        task, cfg, mesh=mesh, logger=logger, epoch_end_hooks=[on_epoch_end]
+    )
+
+    logger.info("Starting Diffusion Training")
+    state = trainer.fit(data_module, state=state, resume_from=None)
+
+    # Post-training samples (train_point_ddpm.py:91-99 parity).
+    samples = task.sample(
+        state, jax.random.PRNGKey(args.seed), args.final_samples, args.num_points
+    )
+    for i, sample in enumerate(jax.device_get(samples)):
+        fig = plot_point_cloud_3d(sample)
+        plt.savefig(f"generated_diffusion_sample_{i}.png")
+        plt.close(fig)
+
+    logger.info(f"Training completed at {datetime.now().strftime('%Y-%m-%d %H:%M:%S')}")
+    logger.info(f"Generated {args.final_samples} samples")
+
+
+if __name__ == "__main__":
+    main()

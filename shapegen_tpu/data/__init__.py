@@ -1,0 +1,7 @@
+from shapegen_tpu.data.dataset import (  # noqa: F401
+    PointCloudDataset,
+    PointCloudDataDirectoryModule,
+    load_dd,
+    save_dd,
+)
+from shapegen_tpu.data.synsets import SHAPENET_ID_TO_CATEGORY  # noqa: F401

@@ -1,0 +1,311 @@
+"""Evaluation metrics: Chamfer, EMD (exact host Hungarian + device Sinkhorn),
+voxel-BCE, focal loss, plus new coverage/MMD/1-NNA extensions.
+
+Parity targets (reference file:line):
+  * normalize_to_cube:       metrics.py:7-21   (in ops.geometry; reused here).
+  * chamfer_distance:        metrics.py:23-47  — cube-normalize both clouds,
+                             full pairwise *Euclidean* (not squared) dists,
+                             min both ways, mean of each, x1e3 scaling.
+  * earth_mover_distance_cpu metrics.py:49-92  — exact EMD via scipy's
+                             Hungarian solver, O(n^3) host-side; sum of
+                             assigned dists / max(n, m), batch mean.
+  * earth_mover_distance_gpu metrics.py:94-158 — entropic Sinkhorn
+                             (eps=1e-2, <=100 iters, logsumexp updates,
+                             convergence 1e-5, cost normalized by its
+                             *global* max) — here a lax.while_loop, fully
+                             device-resident.
+  * compute_metrics:         metrics.py:160-183 — (CD, EMD, voxel-BCE).
+  * voxel_focal_loss:        metrics.py:185-212.
+
+Extensions beyond the reference (BASELINE.md names coverage as a target):
+coverage (COV-CD), minimum matching distance (MMD-CD) and 1-NNA over a
+generated-vs-reference set, computed from one batched pairwise Chamfer
+matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shapegen_tpu.ops.geometry import (
+    normalize_to_cube,
+    square_distance,
+    voxelize,
+)
+
+
+def _as_batched(x: jnp.ndarray) -> jnp.ndarray:
+    return x[None] if x.ndim == 2 else x
+
+
+def _nn_exact_dists(
+    x: jnp.ndarray, y: jnp.ndarray, d2: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact nearest-neighbor distances both ways given approx squared dists.
+
+    The matmul-form distance matrix suffers catastrophic cancellation for
+    near-coincident points (error ~1e-6 absolute on squared values), which the
+    x1e3 CD scaling would amplify. We use the fast matrix only to *select*
+    each nearest neighbor, then recompute that one pair's distance exactly.
+    """
+    idx_xy = jnp.argmin(d2, axis=2)  # (B, N)
+    idx_yx = jnp.argmin(d2, axis=1)  # (B, M)
+    y_match = jnp.take_along_axis(y, idx_xy[..., None], axis=1)
+    x_match = jnp.take_along_axis(x, idx_yx[..., None], axis=1)
+    min_xy = jnp.linalg.norm(x - y_match, axis=-1)
+    min_yx = jnp.linalg.norm(y - x_match, axis=-1)
+    return min_xy, min_yx
+
+
+def chamfer_distance(
+    x: jnp.ndarray, y: jnp.ndarray, scaling_factor: float = 1e3
+) -> jnp.ndarray:
+    """Chamfer distance with the reference's x1e3 scaling (metrics.py:23-47).
+
+    Handles N != M (the reference's unit test deliberately uses unequal point
+    counts, units.py:7-10).
+    """
+    x = _as_batched(x)
+    y = _as_batched(y)
+    x = normalize_to_cube(x)
+    y = normalize_to_cube(y)
+    d2 = square_distance(x, y)
+    min_xy, min_yx = _nn_exact_dists(x, y, d2)
+    cd = jnp.mean(min_xy) + jnp.mean(min_yx)
+    return cd * scaling_factor
+
+
+def chamfer_distance_masked(
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    y: jnp.ndarray,
+    y_mask: jnp.ndarray,
+    scaling_factor: float = 1e3,
+) -> jnp.ndarray:
+    """Chamfer over padded clouds: invalid rows excluded from mins and means.
+
+    Needed for voxel-derived clouds, whose sizes are ragged in the reference
+    (utils.py:511-538) and padded here. Clouds are cube-normalized over valid
+    points only.
+    """
+    x = _as_batched(x)
+    y = _as_batched(y)
+    if x_mask.ndim == 1:
+        x_mask = x_mask[None]
+    if y_mask.ndim == 1:
+        y_mask = y_mask[None]
+
+    def _masked_cube(p, m):
+        big = jnp.where(m[..., None], p, -jnp.inf)
+        small = jnp.where(m[..., None], p, jnp.inf)
+        center = (jnp.max(big, axis=-2, keepdims=True) + jnp.min(small, axis=-2, keepdims=True)) / 2.0
+        centered = (p - center) * m[..., None]
+        scale = jnp.max(jnp.abs(centered), axis=(-2, -1), keepdims=True)
+        return centered / jnp.maximum(scale, 1e-12)
+
+    x = _masked_cube(x, x_mask)
+    y = _masked_cube(y, y_mask)
+    d2 = square_distance(x, y)
+    inf = jnp.float32(jnp.inf)
+    d2_xy = jnp.where(y_mask[:, None, :], d2, inf)
+    d2_yx = jnp.where(x_mask[:, :, None], d2, inf)
+    idx_xy = jnp.argmin(d2_xy, axis=2)
+    idx_yx = jnp.argmin(d2_yx, axis=1)
+    y_match = jnp.take_along_axis(y, idx_xy[..., None], axis=1)
+    x_match = jnp.take_along_axis(x, idx_yx[..., None], axis=1)
+    min_xy = jnp.linalg.norm(x - y_match, axis=-1)  # (B, N)
+    min_yx = jnp.linalg.norm(y - x_match, axis=-1)  # (B, M)
+    xm = x_mask.astype(jnp.float32)
+    ym = y_mask.astype(jnp.float32)
+    mean_xy = jnp.sum(jnp.where(x_mask, min_xy, 0.0)) / jnp.maximum(jnp.sum(xm), 1.0)
+    mean_yx = jnp.sum(jnp.where(y_mask, min_yx, 0.0)) / jnp.maximum(jnp.sum(ym), 1.0)
+    return (mean_xy + mean_yx) * scaling_factor
+
+
+def _per_pair_chamfer(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-pair CD (clouds assumed pre-normalized), (B,) output."""
+    d2 = square_distance(x, y)
+    min_xy, min_yx = _nn_exact_dists(x, y, d2)
+    return jnp.mean(min_xy, axis=1) + jnp.mean(min_yx, axis=1)
+
+
+def pairwise_chamfer_matrix(
+    gen: jnp.ndarray, ref: jnp.ndarray, block: int = 8
+) -> jnp.ndarray:
+    """All-pairs CD matrix between two cloud sets, (G, R).
+
+    Drives the coverage/MMD/1-NNA extensions. Blocked over the gen axis to
+    bound the (G, R, N, M) distance intermediate.
+    """
+    gen = normalize_to_cube(gen)
+    ref = normalize_to_cube(ref)
+    G = gen.shape[0]
+
+    def one_gen(g):
+        # g: (N, 3) vs all refs (R, M, 3)
+        return _per_pair_chamfer(jnp.broadcast_to(g[None], (ref.shape[0],) + g.shape), ref)
+
+    return jax.lax.map(one_gen, gen, batch_size=block)
+
+
+def earth_mover_distance_hungarian(
+    x, y, scaling_factor: float = 1.0
+) -> float:
+    """Exact EMD via the Hungarian algorithm — host-side oracle
+    (metrics.py:49-92). x, y: (B, N, 3)/(B, M, 3) or unbatched arrays."""
+    from scipy.optimize import linear_sum_assignment
+
+    x = np.asarray(jax.device_get(_as_batched(jnp.asarray(x, jnp.float32))))
+    y = np.asarray(jax.device_get(_as_batched(jnp.asarray(y, jnp.float32))))
+    assert x.shape[0] == y.shape[0], "Batch sizes must be the same"
+    assert x.shape[2] == y.shape[2], "Point clouds must have the same dimensionality"
+
+    x = np.asarray(jax.device_get(normalize_to_cube(jnp.asarray(x))))
+    y = np.asarray(jax.device_get(normalize_to_cube(jnp.asarray(y))))
+
+    emds = []
+    for x_pc, y_pc in zip(x, y):
+        distances = np.linalg.norm(x_pc[:, None] - y_pc[None, :], axis=-1)
+        row_ind, col_ind = linear_sum_assignment(distances)
+        emd = distances[row_ind, col_ind].sum() / max(x_pc.shape[0], y_pc.shape[0])
+        emds.append(emd)
+    return float(np.mean(emds) * scaling_factor)
+
+
+def sinkhorn_emd(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    epsilon: float = 1e-2,
+    thresh: float = 1e-5,
+    max_iter: int = 100,
+    scaling_factor: float = 1.0,
+) -> jnp.ndarray:
+    """Entropic-regularized EMD, device-resident (metrics.py:94-158).
+
+    The early-exit Python break becomes a lax.while_loop condition, so
+    convergence still short-circuits on device without host syncs.
+    """
+    x = _as_batched(x)
+    y = _as_batched(y)
+    x = normalize_to_cube(x)
+    y = normalize_to_cube(y)
+    B, n, _ = x.shape
+    m = y.shape[1]
+
+    C = jnp.sqrt(square_distance(x, y) + 1e-12)
+    C = C / jnp.max(C)  # global max, as in metrics.py:123
+    lam = 1.0 / epsilon
+
+    log_mu = jnp.log(jnp.full((B, n, 1), 1.0 / n) + 1e-10)
+    log_nu = jnp.log(jnp.full((B, m, 1), 1.0 / m) + 1e-10)
+
+    def cond(state):
+        i, _, _, err_a, err_b = state
+        return jnp.logical_and(
+            i < max_iter, jnp.logical_or(err_a >= thresh, err_b >= thresh)
+        )
+
+    def body(state):
+        i, alpha, beta, _, _ = state
+        new_alpha = epsilon * (
+            log_mu
+            - jax.scipy.special.logsumexp(
+                -lam * C + jnp.swapaxes(beta, 1, 2), axis=2, keepdims=True
+            )
+        )
+        new_beta = epsilon * (
+            log_nu
+            - jax.scipy.special.logsumexp(
+                -lam * jnp.swapaxes(C, 1, 2) + jnp.swapaxes(new_alpha, 1, 2),
+                axis=2,
+                keepdims=True,
+            )
+        )
+        err_a = jnp.max(jnp.abs(new_alpha - alpha))
+        err_b = jnp.max(jnp.abs(new_beta - beta))
+        return i + 1, new_alpha, new_beta, err_a, err_b
+
+    alpha0 = jnp.zeros((B, n, 1))
+    beta0 = jnp.zeros((B, m, 1))
+    _, alpha, beta, _, _ = jax.lax.while_loop(
+        cond, body, (0, alpha0, beta0, jnp.inf, jnp.inf)
+    )
+
+    P = jnp.exp(-lam * C + alpha + jnp.swapaxes(beta, 1, 2))
+    emd = jnp.sum(P * C, axis=(1, 2))
+    return jnp.mean(emd) * scaling_factor
+
+
+def voxel_bce_recon_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """BCE between the voxelizations of two clouds (metrics.py:181)."""
+    from shapegen_tpu.models.vae3d import binary_cross_entropy
+
+    return binary_cross_entropy(voxelize(_as_batched(x)), voxelize(_as_batched(y)))
+
+
+def compute_metrics(
+    generated: jnp.ndarray,
+    reference: jnp.ndarray,
+    use_approximate_gpu_emd: bool = False,
+) -> Tuple[jnp.ndarray, float, jnp.ndarray]:
+    """(CD, EMD, voxel-BCE recon loss) — metrics.py:160-183.
+
+    Default EMD is the exact host Hungarian solver, like the reference; pass
+    use_approximate_gpu_emd=True for the device Sinkhorn approximation.
+    """
+    avg_cd = chamfer_distance(generated, reference)
+    if use_approximate_gpu_emd:
+        avg_emd = sinkhorn_emd(generated, reference)
+    else:
+        avg_emd = earth_mover_distance_hungarian(generated, reference)
+    recon_loss = voxel_bce_recon_loss(generated, reference)
+    return avg_cd, avg_emd, recon_loss
+
+
+def voxel_focal_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Alpha/gamma focal BCE on voxel occupancy (metrics.py:185-212)."""
+    pred = jnp.clip(pred, 1e-7, 1.0 - 1e-7)
+    bce = -target * jnp.log(pred) - (1.0 - target) * jnp.log(1.0 - pred)
+    pt = jnp.where(target == 1, pred, 1.0 - pred)
+    focal = (1.0 - pt) ** focal_gamma * bce
+    alpha_factor = jnp.where(target == 1, focal_alpha, 1.0 - focal_alpha)
+    return jnp.mean(alpha_factor * focal)
+
+
+def coverage_and_mmd(
+    gen: jnp.ndarray, ref: jnp.ndarray, block: int = 8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """COV-CD and MMD-CD over generated vs reference sets (extension).
+
+    COV: fraction of reference clouds that are the nearest neighbor of at
+    least one generated cloud. MMD: mean over reference clouds of the minimum
+    CD to any generated cloud.
+    """
+    d = pairwise_chamfer_matrix(gen, ref, block)  # (G, R)
+    nearest_ref = jnp.argmin(d, axis=1)  # (G,)
+    covered = jnp.zeros((ref.shape[0],), bool).at[nearest_ref].set(True)
+    cov = jnp.mean(covered.astype(jnp.float32))
+    mmd = jnp.mean(jnp.min(d, axis=0))
+    return cov, mmd
+
+
+def one_nna(gen: jnp.ndarray, ref: jnp.ndarray, block: int = 8) -> jnp.ndarray:
+    """1-NN accuracy two-sample test (extension). 0.5 is ideal."""
+    all_clouds = jnp.concatenate([gen, ref], axis=0)
+    labels = jnp.concatenate(
+        [jnp.ones((gen.shape[0],), bool), jnp.zeros((ref.shape[0],), bool)]
+    )
+    d = pairwise_chamfer_matrix(all_clouds, all_clouds, block)
+    d = jnp.where(jnp.eye(d.shape[0], dtype=bool), jnp.inf, d)  # exclude self
+    nn = jnp.argmin(d, axis=1)
+    pred = labels[nn]
+    return jnp.mean((pred == labels).astype(jnp.float32))

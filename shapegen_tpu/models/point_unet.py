@@ -1,0 +1,226 @@
+"""Point-cloud denoiser U-Nets (the DDPM epsilon-predictors).
+
+Parity targets:
+  * PointUNetLarge            <- UNetPointNetLarge (networks.py:724-838), the
+                                 production point-DDPM denoiser
+                                 (instantiated dim=256, time_dim=256 at
+                                 diffusion.py:15,28 — `dim` only sizes the
+                                 time MLP and must equal time_dim for the
+                                 input concat, as in the reference).
+  * SimplePointUNet           <- SimpleUNetPointNet (networks.py:508-595).
+  * UNetAttentionPoint        <- UNetAttentionPointExperimental
+                                 (networks.py:597-722, unused by entry points).
+  * PointUNetLargeWithAttention <- UNetPointNetLargeWithAttentionExperimental
+                                 (networks.py:840-960, unused by entry points).
+
+Layout: channel-last (B, N, C); every shared point-MLP rung is one (B*N, C)
+matmul on the MXU. The per-cloud global feature is a max over N; its
+broadcast back over points is a free XLA broadcast (the reference used a
+materializing .repeat, networks.py:808).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from shapegen_tpu.models.layers import (
+    DenseBN,
+    PointNetLayer,
+    PointNetLayerWithAttention,
+    CrossAttentionBlock,
+    SetAttentionBlock,
+    kaiming_out,
+    timestep_embedding,
+)
+
+Dtype = Any
+
+
+class TimeMLP(nn.Module):
+    """Linear -> SiLU -> Linear over the sinusoidal embedding (networks.py:737-741)."""
+
+    dim: int
+    time_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        emb = timestep_embedding(t, self.time_dim)
+        emb = nn.Dense(self.dim, kernel_init=kaiming_out, dtype=self.dtype)(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.dim, kernel_init=kaiming_out, dtype=self.dtype)(emb)
+        return emb
+
+
+class PointUNetLarge(nn.Module):
+    """The production point-DDPM denoiser (networks.py:724-838). ~30M params."""
+
+    dim: int = 256
+    time_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, train: bool = False):
+        # x: (B, N, 3), t: (B,) continuous in [0, 1]. Returns (B, N, 3).
+        B, N, _ = x.shape
+        t_emb = TimeMLP(self.dim, self.time_dim, dtype=self.dtype)(t)
+        t_tiled = jnp.broadcast_to(t_emb[:, None, :], (B, N, t_emb.shape[-1]))
+        h = jnp.concatenate([x.astype(self.dtype), t_tiled], axis=-1)
+
+        x1 = PointNetLayer(64, 128, dtype=self.dtype)(h, train)
+        x2 = PointNetLayer(128, 256, dtype=self.dtype)(x1, train)
+        x3 = PointNetLayer(256, 512, dtype=self.dtype)(x2, train)
+        x4 = PointNetLayer(512, 1024, dtype=self.dtype)(x3, train)
+
+        g = DenseBN(2048, dtype=self.dtype)(x4, train)
+        g = DenseBN(4096, dtype=self.dtype)(g, train)
+        g = jnp.max(g, axis=1, keepdims=True)  # (B, 1, 4096)
+        g = jnp.broadcast_to(g, (B, N, 4096))
+
+        r4 = nn.Dense(1024, kernel_init=kaiming_out, dtype=self.dtype)(x4)
+        r3 = nn.Dense(512, kernel_init=kaiming_out, dtype=self.dtype)(x3)
+        r2 = nn.Dense(256, kernel_init=kaiming_out, dtype=self.dtype)(x2)
+        r1 = nn.Dense(128, kernel_init=kaiming_out, dtype=self.dtype)(x1)
+
+        d = PointNetLayer(1024, 512, dtype=self.dtype)(
+            jnp.concatenate([g, r4], axis=-1), train
+        )
+        d = PointNetLayer(512, 256, dtype=self.dtype)(
+            jnp.concatenate([d, r3], axis=-1), train
+        )
+        d = PointNetLayer(256, 128, dtype=self.dtype)(
+            jnp.concatenate([d, r2], axis=-1), train
+        )
+        d = PointNetLayer(128, 64, dtype=self.dtype)(
+            jnp.concatenate([d, r1], axis=-1), train
+        )
+
+        out = DenseBN(64, dtype=self.dtype)(d, train)
+        out = nn.Dense(3, kernel_init=kaiming_out, dtype=jnp.float32)(out)
+        return out
+
+
+class SimplePointUNet(nn.Module):
+    """3-stage point U-Net with raw time-embed concat (networks.py:508-595)."""
+
+    dim: int = 256
+    time_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, train: bool = False):
+        B, N, _ = x.shape
+        # Raw sinusoidal embedding, no time MLP (networks.py:553-558).
+        t_emb = timestep_embedding(t, self.time_dim)
+        t_tiled = jnp.broadcast_to(t_emb[:, None, :], (B, N, self.time_dim))
+        h = jnp.concatenate([x.astype(self.dtype), t_tiled], axis=-1)
+
+        x1 = PointNetLayer(64, dtype=self.dtype)(h, train)
+        x2 = PointNetLayer(128, dtype=self.dtype)(x1, train)
+        x3 = PointNetLayer(256, dtype=self.dtype)(x2, train)
+
+        g = DenseBN(1024, dtype=self.dtype)(x3, train)
+        g = jnp.max(g, axis=1, keepdims=True)
+        g = jnp.broadcast_to(g, (B, N, 1024))
+
+        d = PointNetLayer(256, dtype=self.dtype)(
+            jnp.concatenate([g, x3], axis=-1), train
+        )
+        d = PointNetLayer(128, dtype=self.dtype)(
+            jnp.concatenate([d, x2], axis=-1), train
+        )
+        d = PointNetLayer(64, dtype=self.dtype)(
+            jnp.concatenate([d, x1], axis=-1), train
+        )
+        return nn.Dense(3, kernel_init=kaiming_out, dtype=jnp.float32)(d)
+
+
+class UNetAttentionPoint(nn.Module):
+    """Per-stage time injection + set attention (networks.py:597-722; experimental)."""
+
+    dim: int = 256
+    num_heads: int = 4
+    time_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, train: bool = False):
+        t_emb = timestep_embedding(t, self.time_dim)
+        t_emb = nn.Dense(self.dim, dtype=self.dtype)(t_emb)
+        t_emb = nn.silu(t_emb)
+        t_emb = nn.Dense(self.dim, dtype=self.dtype)(t_emb)
+
+        def inject(h, width):
+            e = nn.Dense(width, kernel_init=kaiming_out, dtype=self.dtype)(t_emb)
+            return h + e[:, None, :]
+
+        h = inject(x.astype(self.dtype), 3)
+        x1 = PointNetLayer(64, dtype=self.dtype)(h, train)
+        x1 = SetAttentionBlock(64, self.num_heads, dtype=self.dtype)(x1)
+
+        x1 = inject(x1, 64)
+        x2 = PointNetLayer(128, dtype=self.dtype)(x1, train)
+        x2 = SetAttentionBlock(128, self.num_heads, dtype=self.dtype)(x2)
+
+        x2 = inject(x2, 128)
+        x3 = PointNetLayer(256, dtype=self.dtype)(x2, train)
+        x3 = SetAttentionBlock(256, self.num_heads, dtype=self.dtype)(x3)
+
+        xb = SetAttentionBlock(256, self.num_heads, dtype=self.dtype)(x3)
+
+        xb = inject(xb, 256)
+        xb = SetAttentionBlock(256, self.num_heads, dtype=self.dtype)(xb)
+        d = PointNetLayer(128, dtype=self.dtype)(
+            jnp.concatenate([xb, x3], axis=-1), train
+        )
+
+        d = inject(d, 128)
+        d = SetAttentionBlock(128, self.num_heads, dtype=self.dtype)(d)
+        d = PointNetLayer(64, dtype=self.dtype)(
+            jnp.concatenate([d, x2], axis=-1), train
+        )
+
+        d = inject(d, 64)
+        d = SetAttentionBlock(64, self.num_heads, dtype=self.dtype)(d)
+        d = PointNetLayer(3, dtype=self.dtype)(
+            jnp.concatenate([d, x1], axis=-1), train
+        )
+        return nn.Dense(3, kernel_init=kaiming_out, dtype=jnp.float32)(d)
+
+
+class PointUNetLargeWithAttention(nn.Module):
+    """Large U-Net + cross-attention skips (networks.py:840-960; experimental)."""
+
+    dim: int = 256
+    time_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, train: bool = False):
+        B, N, _ = x.shape
+        t_emb = TimeMLP(self.dim, self.time_dim, dtype=self.dtype)(t)
+        t_tiled = jnp.broadcast_to(t_emb[:, None, :], (B, N, t_emb.shape[-1]))
+        h = jnp.concatenate([x.astype(self.dtype), t_tiled], axis=-1)
+
+        x1 = PointNetLayerWithAttention(64, 128, dtype=self.dtype)(h, train)
+        x2 = PointNetLayerWithAttention(128, 256, dtype=self.dtype)(x1, train)
+        x3 = PointNetLayerWithAttention(256, 512, dtype=self.dtype)(x2, train)
+        x4 = PointNetLayerWithAttention(512, 1024, dtype=self.dtype)(x3, train)
+
+        g = DenseBN(2048, dtype=self.dtype)(x4, train)
+        g = DenseBN(4096, dtype=self.dtype)(g, train)
+
+        d = PointNetLayerWithAttention(1024, 512, dtype=self.dtype)(g, train)
+        d = CrossAttentionBlock(512, 1024, dtype=self.dtype)(d, x4)
+        d = PointNetLayerWithAttention(512, 256, dtype=self.dtype)(d, train)
+        d = CrossAttentionBlock(256, 512, dtype=self.dtype)(d, x3)
+        d = PointNetLayerWithAttention(256, 128, dtype=self.dtype)(d, train)
+        d = CrossAttentionBlock(128, 256, dtype=self.dtype)(d, x2)
+        d = PointNetLayerWithAttention(128, 64, dtype=self.dtype)(d, train)
+        d = CrossAttentionBlock(64, 128, dtype=self.dtype)(d, x1)
+
+        out = DenseBN(64, dtype=self.dtype)(d, train)
+        return nn.Dense(3, kernel_init=kaiming_out, dtype=jnp.float32)(out)

@@ -1,0 +1,126 @@
+"""ctypes bindings to the native host kernels (native/shapegen_native.cpp).
+
+Auto-builds the shared library on first use if a toolchain is present;
+every entry point has a pure-numpy fallback, so the package works without a
+compiler. Used by the host data/preprocessing pipeline (device-side FPS lives
+in ops.geometry for on-TPU batches).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libshapegen_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    lib.fps_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.fps_f32.restype = None
+    lib.voxels_to_points_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.voxels_to_points_f32.restype = ctypes.c_int64
+    lib.points_to_voxels_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.points_to_voxels_f32.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def fps_indices(points: np.ndarray, npoint: int, start_idx: int = 0) -> np.ndarray:
+    """FPS indices over (n, 3) float32 points. Native or numpy fallback."""
+    points = np.ascontiguousarray(points[:, :3], np.float32)
+    n = len(points)
+    lib = _load()
+    if lib is not None:
+        out = np.empty(npoint, np.int32)
+        scratch = np.empty(n, np.float32)
+        lib.fps_f32(
+            _fptr(points), n, npoint, start_idx,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _fptr(scratch),
+        )
+        return out
+    # numpy fallback (same algorithm, preprocessing.py:7-28 semantics)
+    dist = np.full(n, np.inf, np.float32)
+    farthest = start_idx % n
+    out = np.zeros(npoint, np.int32)
+    for i in range(npoint):
+        out[i] = farthest
+        d = np.sum((points - points[farthest]) ** 2, axis=1)
+        np.minimum(dist, d, out=dist)
+        farthest = int(np.argmax(dist))
+    return out
+
+
+def voxels_to_points(voxels: np.ndarray, threshold: float = 0.5,
+                     capacity: Optional[int] = None) -> np.ndarray:
+    """Occupied cells as [x, y, z] float32 rows in scan order."""
+    voxels = np.ascontiguousarray(voxels, np.float32)
+    d, h, w = voxels.shape
+    lib = _load()
+    if lib is not None:
+        cap = capacity or d * h * w
+        out = np.empty((cap, 3), np.float32)
+        count = lib.voxels_to_points_f32(
+            _fptr(voxels), d, h, w, threshold, _fptr(out), cap
+        )
+        return out[:count].copy()
+    zz, yy, xx = np.nonzero(voxels > threshold)
+    pts = np.stack([xx, yy, zz], axis=1).astype(np.float32)
+    return pts[:capacity] if capacity else pts
+
+
+def points_to_voxels(points: np.ndarray, resolution: int = 32) -> np.ndarray:
+    """[z, y, x]-ordered occupancy scatter of [-1,1] points (data.py:220-228)."""
+    points = np.ascontiguousarray(points[:, :3], np.float32)
+    lib = _load()
+    if lib is not None:
+        out = np.empty((resolution,) * 3, np.float32)
+        lib.points_to_voxels_f32(_fptr(points), len(points), resolution, _fptr(out))
+        return out
+    pts = (points + 1) * (resolution - 1) / 2
+    pts = np.clip(pts, 0, resolution - 1).astype(int)
+    grid = np.zeros((resolution,) * 3, np.float32)
+    grid[pts[:, 2], pts[:, 1], pts[:, 0]] = 1
+    return grid

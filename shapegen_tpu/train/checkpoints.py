@@ -1,0 +1,98 @@
+"""Top-k checkpointing with Lightning-compatible naming.
+
+The reference keeps two ModelCheckpoint callbacks per run — one per monitored
+metric (val_loss and train_loss), each save_top_k=10, mode=min, with
+metric-templated filenames (train_point_ddpm.py:63-77). This is the Orbax
+equivalent: each TopKCheckpointer owns one monitor; checkpoints carry
+(state pytree + hparams json) so ``load_checkpoint`` can rebuild a model
+argument-free, mirroring Lightning's hyperparams-in-checkpoint
+(diffusion.py:27 save_hyperparameters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class TopKCheckpointer:
+    def __init__(
+        self,
+        dirpath: str,
+        monitor: str,
+        filename_prefix: str,
+        save_top_k: int = 10,
+        mode: str = "min",
+    ):
+        self.dirpath = os.path.abspath(dirpath)
+        self.monitor = monitor
+        self.prefix = filename_prefix
+        self.save_top_k = save_top_k
+        self.mode = mode
+        self._kept: List[Tuple[float, str]] = []  # (value, path)
+        self._ckpt = ocp.StandardCheckpointer()
+        os.makedirs(self.dirpath, exist_ok=True)
+
+    def _is_better(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "min" else a > b
+
+    def maybe_save(
+        self,
+        state: Any,
+        epoch: int,
+        value: float,
+        hparams: Optional[Dict] = None,
+        extra: Optional[Dict] = None,
+    ) -> Optional[str]:
+        """Save if `value` ranks in the top k for this monitor. Returns path."""
+        if len(self._kept) >= self.save_top_k:
+            worst = max(self._kept)[0] if self.mode == "min" else min(self._kept)[0]
+            if not self._is_better(value, worst):
+                return None
+
+        name = f"{self.prefix}-epoch={epoch:02d}-{self.monitor}={value:.2f}.ckpt"
+        path = os.path.join(self.dirpath, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, jax.device_get(state))
+        self._ckpt.wait_until_finished()
+        meta = {
+            "epoch": epoch,
+            "monitor": self.monitor,
+            "value": value,
+            "hparams": hparams or {},
+            "extra": extra or {},
+        }
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f)
+
+        self._kept.append((value, path))
+        self._kept.sort(key=lambda kv: kv[0], reverse=(self.mode != "min"))
+        while len(self._kept) > self.save_top_k:
+            _, evict = self._kept.pop()
+            shutil.rmtree(evict, ignore_errors=True)
+            try:
+                os.remove(evict + ".json")
+            except OSError:
+                pass
+        return path
+
+    @property
+    def best_path(self) -> Optional[str]:
+        return self._kept[0][1] if self._kept else None
+
+
+def load_checkpoint(path: str, target: Any = None) -> Tuple[Any, Dict]:
+    """Restore (state, metadata). With `target`, restores into its structure."""
+    ckpt = ocp.StandardCheckpointer()
+    state = ckpt.restore(os.path.abspath(path), target) if target is not None else ckpt.restore(os.path.abspath(path))
+    meta = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return state, meta

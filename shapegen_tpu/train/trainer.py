@@ -1,0 +1,213 @@
+"""Generic training loop: jitted steps, epoch eval, LR control, top-k
+checkpoints, TensorBoard + file logging.
+
+This is the TPU-native replacement for PyTorch Lightning's Trainer as the
+reference uses it (train_point_ddpm.py:80-89): fit(model, data_module) with
+per-epoch validation, two ModelCheckpoint monitors (val_loss + train_loss,
+save_top_k=10), TensorBoardLogger scalars/figures, and epoch-stepped LR
+schedulers monitoring val_loss.
+
+TPU design points:
+  * train/eval steps are jitted once with donated state — the loop body is a
+    single XLA program per batch shape; the epoch counter and LR ride in as
+    device scalars so schedule changes never recompile.
+  * With a Mesh, batches are sharded over the 'data' axis and the state is
+    replicated; XLA inserts gradient/batch-stat psums over ICI. The same
+    Trainer runs unchanged on 1 chip or a slice.
+  * Host<->device traffic per step: one async batch transfer in, one scalar
+    metric fetch out (fetched lazily per epoch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from collections import defaultdict
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shapegen_tpu.parallel.mesh import replicate_state, shard_batch
+from shapegen_tpu.train.checkpoints import TopKCheckpointer, load_checkpoint
+from shapegen_tpu.train.state import get_learning_rate, set_learning_rate
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_epochs: int = 500
+    ckpt_dir: str = "checkpoints"
+    ckpt_prefix: str = "model"
+    save_top_k: int = 10
+    tb_dir: Optional[str] = "lightning_logs"
+    tb_name: str = "run"
+    seed: int = 24
+    log_every_steps: int = 50
+    val_every_epochs: int = 1
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        config: TrainerConfig,
+        mesh=None,
+        logger=None,
+        epoch_end_hooks: Optional[List[Callable]] = None,
+    ):
+        self.task = task
+        self.config = config
+        self.mesh = mesh
+        self.logger = logger
+        self.epoch_end_hooks = epoch_end_hooks or []
+
+        self._train_step = jax.jit(task.train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(task.eval_step)
+
+        self.val_ckpt = TopKCheckpointer(
+            config.ckpt_dir, "val_loss", config.ckpt_prefix, config.save_top_k
+        )
+        self.train_ckpt = TopKCheckpointer(
+            config.ckpt_dir, "train_loss", config.ckpt_prefix, config.save_top_k
+        )
+
+        self.tb = None
+        if config.tb_dir is not None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(
+                    os.path.join(config.tb_dir, config.tb_name)
+                )
+            except ImportError:
+                pass
+
+    # ------------------------------------------------------------------ utils
+    def _log(self, msg: str):
+        if self.logger is not None:
+            self.logger.info(msg)
+
+    def _tb_scalars(self, metrics: Dict[str, float], epoch: int):
+        if self.tb is None:
+            return
+        for k, v in metrics.items():
+            self.tb.add_scalar(k, v, epoch)
+
+    def add_figure(self, tag: str, fig, epoch: int):
+        if self.tb is not None:
+            self.tb.add_figure(tag, fig, global_step=epoch)
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        data_module,
+        state=None,
+        resume_from: Optional[str] = None,
+        start_epoch: int = 0,
+    ):
+        cfg = self.config
+        rng = jax.random.PRNGKey(cfg.seed)
+
+        if data_module.dataset is None:
+            data_module.setup()
+        train_loader = data_module.train_dataloader()
+        val_loader = data_module.val_dataloader()
+
+        if state is None:
+            first = next(iter(val_loader if len(val_loader) else train_loader))
+            init_rng, rng = jax.random.split(rng)
+            state = self.task.init_state(init_rng, jnp.asarray(first))
+
+        scheduler = self.task.make_scheduler()
+        if resume_from:
+            restored, meta = load_checkpoint(
+                resume_from, jax.device_get(state)
+            )
+            state = jax.device_put(restored)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            sched_state = meta.get("extra", {}).get("scheduler")
+            if scheduler is not None and sched_state:
+                scheduler.load_state_dict(sched_state)
+                state = set_learning_rate(state, scheduler.lr)
+            self._log(f"Resumed from {resume_from} at epoch {start_epoch}")
+
+        state = replicate_state(state, self.mesh)
+
+        step = 0
+        for epoch in range(start_epoch, cfg.max_epochs):
+            t0 = time.time()
+            epoch_dev = jnp.asarray(epoch, jnp.int32)
+
+            # ---- train
+            train_metrics = defaultdict(list)
+            for batch in train_loader:
+                batch = shard_batch(jnp.asarray(batch), self.mesh)
+                step_rng = jax.random.fold_in(rng, step)
+                state, metrics = self._train_step(state, batch, step_rng, epoch_dev)
+                for k, v in metrics.items():
+                    train_metrics[k].append(v)
+                step += 1
+
+            # ---- validate
+            val_metrics = defaultdict(list)
+            if (epoch + 1) % cfg.val_every_epochs == 0:
+                for i, batch in enumerate(val_loader):
+                    batch = shard_batch(jnp.asarray(batch), self.mesh)
+                    v_rng = jax.random.fold_in(rng, 10_000_000 + epoch * 10_000 + i)
+                    metrics = self._eval_step(state, batch, v_rng, epoch_dev)
+                    for k, v in metrics.items():
+                        val_metrics[k].append(v)
+
+            # ---- reduce + log (single host sync per epoch)
+            epoch_metrics = {
+                k: float(np.mean(jax.device_get(v)))
+                for k, v in list(train_metrics.items()) + list(val_metrics.items())
+            }
+            epoch_metrics["lr"] = get_learning_rate(state)
+            self._tb_scalars(epoch_metrics, epoch)
+            dt = time.time() - t0
+            self._log(
+                f"epoch {epoch}: "
+                + ", ".join(f"{k}={v:.4f}" for k, v in sorted(epoch_metrics.items()))
+                + f" ({dt:.1f}s)"
+            )
+
+            # ---- LR schedule (epoch-stepped, monitoring val_loss)
+            val_loss = epoch_metrics.get("val_loss")
+            if scheduler is not None and val_loss is not None:
+                new_lr = scheduler.step(val_loss)
+                if abs(new_lr - epoch_metrics["lr"]) > 1e-12:
+                    self._log(f"lr -> {new_lr:.3e}")
+                state = set_learning_rate(state, new_lr)
+
+            # ---- checkpoints (two monitors, Lightning parity)
+            host_state = jax.device_get(
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                }
+            )
+            extra = {
+                "scheduler": scheduler.state_dict() if scheduler else None,
+            }
+            if val_loss is not None:
+                self.val_ckpt.maybe_save(
+                    host_state, epoch, val_loss, self.task.hparams, extra
+                )
+            if "train_loss" in epoch_metrics:
+                self.train_ckpt.maybe_save(
+                    host_state, epoch, epoch_metrics["train_loss"],
+                    self.task.hparams, extra,
+                )
+
+            # ---- user hooks (sample generation figures etc.)
+            for hook in self.epoch_end_hooks:
+                hook(self, state, epoch)
+
+        if self.tb is not None:
+            self.tb.flush()
+        return state

@@ -1,0 +1,129 @@
+"""Data pipeline tests on a synthetic .dd directory."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from shapegen_tpu.data import (
+    PointCloudDataDirectoryModule,
+    PointCloudDataset,
+    load_dd,
+    save_dd,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ddata")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_synthetic_data.py"),
+         str(d), "--per-category", "6"],
+        check=True,
+        cwd=REPO,
+    )
+    return str(d)
+
+
+def test_dd_roundtrip(tmp_path):
+    arr = np.random.default_rng(0).random((4, 4, 4)).astype(np.float32)
+    p = str(tmp_path / "x.dd")
+    save_dd(p, arr)
+    np.testing.assert_array_equal(load_dd(p), arr)
+
+
+def test_category_filter(data_dir):
+    all_ds = PointCloudDataset(data_dir, relevant_object_categories=["all"])
+    chair_ds = PointCloudDataset(data_dir, relevant_object_categories=["chair"])
+    two_ds = PointCloudDataset(
+        data_dir, relevant_object_categories=["chair", "table"]
+    )
+    assert len(all_ds) == 18
+    assert len(chair_ds) == 6
+    assert len(two_ds) == 12
+    assert all("03001627" in f for f in chair_ds.file_list)
+
+
+def test_voxels_fast_path_shape(data_dir):
+    ds = PointCloudDataset(
+        data_dir, output_mode="voxels", jitter=False, rotate=False
+    )
+    v = ds[0]
+    assert v.shape == (32, 32, 32, 1)
+    assert set(np.unique(v)).issubset({0.0, 1.0})
+
+
+def test_point_cloud_output(data_dir):
+    ds = PointCloudDataset(
+        data_dir,
+        num_points=512,
+        output_mode="point_clouds",
+        jitter=False,
+        rotate=False,
+    )
+    pc = ds[0]
+    assert pc.shape == (512, 3)
+    # Unit-sphere normalized (data.py:230-238).
+    norms = np.linalg.norm(pc - pc.mean(0), axis=1)
+    assert norms.max() <= 1.2  # sampling after normalize can't exceed much
+
+
+def test_point_cloud_with_augmentations(data_dir):
+    ds = PointCloudDataset(
+        data_dir,
+        num_points=256,
+        output_mode="point_clouds",
+        jitter=True,
+        rotate=True,
+    )
+    a = ds[0]
+    b = ds[0]
+    assert a.shape == (256, 3)
+    assert not np.allclose(a, b)  # random augs differ per call
+
+
+def test_datamodule_split_and_loaders(data_dir):
+    dm = PointCloudDataDirectoryModule(
+        data_dir,
+        num_points=128,
+        batch_size=4,
+        num_workers=2,
+        output_mode="point_clouds",
+        augmentations=False,
+        relevant_object_categories=["all"],
+    )
+    dm.setup()
+    assert len(dm.train_indices) == 14 and len(dm.val_indices) == 4
+    assert not set(dm.train_indices) & set(dm.val_indices)
+
+    train_batches = list(dm.train_dataloader())
+    assert sum(len(b) for b in train_batches) == 14
+    assert train_batches[0].shape == (4, 128, 3)
+
+    val_batches = list(dm.val_dataloader())
+    assert sum(len(b) for b in val_batches) == 4
+
+    # Split deterministic across instantiations (seed 24).
+    dm2 = PointCloudDataDirectoryModule(
+        data_dir, num_points=128, batch_size=4, output_mode="point_clouds",
+        augmentations=False,
+    )
+    dm2.setup()
+    np.testing.assert_array_equal(dm.train_indices, dm2.train_indices)
+
+
+def test_datamodule_voxel_mode(data_dir):
+    dm = PointCloudDataDirectoryModule(
+        data_dir,
+        batch_size=4,
+        output_mode="voxels",
+        augmentations=False,
+        relevant_object_categories=["airplane"],
+    )
+    dm.setup()
+    batch = next(iter(dm.train_dataloader()))
+    assert batch.shape == (4, 32, 32, 32, 1)

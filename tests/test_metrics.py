@@ -1,0 +1,145 @@
+"""Metric tests, incl. the reference's units.py bounds test and torch parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shapegen_tpu import metrics
+
+
+def _rand_clouds(rng):
+    # Reference unit test: deliberately unequal point counts (units.py:7-10).
+    x = rng.standard_normal((1, 994, 3)).astype(np.float32)
+    y = rng.standard_normal((1, 948, 3)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_reference_units_bounds(rng):
+    """Port of units.py:6-26: CD / EMD-exact / EMD-Sinkhorn each in [0, 200]."""
+    x, y = _rand_clouds(rng)
+    cd = float(metrics.chamfer_distance(x, y))
+    assert 0 <= cd <= 200
+    emd_cpu = metrics.earth_mover_distance_hungarian(x, y)
+    assert 0 <= emd_cpu <= 200
+    emd_gpu = float(metrics.sinkhorn_emd(x, y))
+    assert 0 <= emd_gpu <= 200
+
+
+def test_chamfer_identical_clouds_zero(rng):
+    x = jnp.asarray(rng.standard_normal((2, 100, 3)).astype(np.float32))
+    cd = float(metrics.chamfer_distance(x, x))
+    assert cd < 1e-2  # sqrt eps floor only
+
+
+def test_chamfer_parity_with_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.standard_normal((2, 60, 3)).astype(np.float32)
+    y = rng.standard_normal((2, 80, 3)).astype(np.float32)
+
+    # Independent torch oracle of the reference formula (metrics.py:23-47).
+    def torch_cd(xt, yt):
+        def norm(p):
+            center = (p.max(dim=1, keepdim=True)[0] + p.min(dim=1, keepdim=True)[0]) / 2
+            p = p - center
+            scale = p.abs().max(dim=1, keepdim=True)[0].max(dim=2, keepdim=True)[0]
+            return p / scale
+
+        xt, yt = norm(xt), norm(yt)
+        dist = torch.cdist(xt, yt)
+        return (dist.min(2)[0].mean() + dist.min(1)[0].mean()) * 1e3
+
+    want = float(torch_cd(torch.tensor(x), torch.tensor(y)))
+    got = float(metrics.chamfer_distance(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_chamfer_masked_matches_unmasked_on_full(rng):
+    x = jnp.asarray(rng.standard_normal((1, 50, 3)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((1, 40, 3)).astype(np.float32))
+    full = float(metrics.chamfer_distance(x, y))
+    masked = float(
+        metrics.chamfer_distance_masked(
+            x, jnp.ones((1, 50), bool), y, jnp.ones((1, 40), bool)
+        )
+    )
+    np.testing.assert_allclose(masked, full, rtol=1e-4)
+
+
+def test_chamfer_masked_ignores_padding(rng):
+    x = rng.standard_normal((30, 3)).astype(np.float32)
+    y = rng.standard_normal((25, 3)).astype(np.float32)
+    xp = np.concatenate([x, np.full((10, 3), 99.0, np.float32)])
+    yp = np.concatenate([y, np.full((5, 3), -99.0, np.float32)])
+    xm = np.concatenate([np.ones(30, bool), np.zeros(10, bool)])
+    ym = np.concatenate([np.ones(25, bool), np.zeros(5, bool)])
+    want = float(metrics.chamfer_distance(jnp.asarray(x[None]), jnp.asarray(y[None])))
+    got = float(
+        metrics.chamfer_distance_masked(
+            jnp.asarray(xp[None]), jnp.asarray(xm[None]),
+            jnp.asarray(yp[None]), jnp.asarray(ym[None]),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_hungarian_emd_permutation_invariant(rng):
+    x = rng.standard_normal((1, 64, 3)).astype(np.float32)
+    perm = rng.permutation(64)
+    emd = metrics.earth_mover_distance_hungarian(
+        jnp.asarray(x), jnp.asarray(x[:, perm])
+    )
+    assert emd < 1e-6
+
+
+def test_sinkhorn_properties(rng):
+    # NOTE: the reference's Sinkhorn normalizes the cost by its *global max*
+    # (metrics.py:123), putting it on a different scale than the exact
+    # Hungarian EMD — true upstream as well, so we test properties, not
+    # agreement: positivity, near-zero on identical clouds, and ordering.
+    x = jnp.asarray(rng.standard_normal((1, 48, 3)).astype(np.float32))
+    shells = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    disks = x.at[..., 2].multiply(0.01)
+    same = float(metrics.sinkhorn_emd(x, x + 1e-6))
+    far = float(metrics.sinkhorn_emd(shells, disks))
+    assert 0 <= same < 0.05
+    assert far > same
+
+
+def test_compute_metrics_triple(rng):
+    x = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+    cd, emd, recon = metrics.compute_metrics(x, y)
+    assert float(cd) > 0 and emd > 0 and float(recon) > 0
+    cd2, emd2, _ = metrics.compute_metrics(x, y, use_approximate_gpu_emd=True)
+    assert float(cd2) == float(cd)
+
+
+def test_focal_loss_matches_reference_formula(rng):
+    pred = jnp.asarray(rng.random((2, 8, 8, 8)).astype(np.float32))
+    target = jnp.asarray((rng.random((2, 8, 8, 8)) > 0.7).astype(np.float32))
+    got = float(metrics.voxel_focal_loss(pred, target))
+    p = np.clip(np.asarray(pred), 1e-7, 1 - 1e-7)
+    t = np.asarray(target)
+    bce = -t * np.log(p) - (1 - t) * np.log(1 - p)
+    pt = np.where(t == 1, p, 1 - p)
+    fl = np.where(t == 1, 0.25, 0.75) * (1 - pt) ** 2 * bce
+    np.testing.assert_allclose(got, fl.mean(), rtol=1e-5)
+
+
+def test_coverage_mmd_and_1nna(rng):
+    ref = jnp.asarray(rng.standard_normal((6, 32, 3)).astype(np.float32))
+    # Generated identical to reference: perfect coverage, ~zero MMD.
+    cov, mmd = metrics.coverage_and_mmd(ref, ref, block=2)
+    assert float(cov) == 1.0
+    assert float(mmd) < 1e-2
+    acc = metrics.one_nna(ref + 1e-5, ref, block=4)
+    # Indistinguishable sets -> near-zero accuracy (each cloud's NN is its twin
+    # from the other set).
+    assert float(acc) <= 0.2
+    # Clearly distinct shape families (sphere shells vs flat disks) -> ~1.
+    shells = np.asarray(ref) / np.linalg.norm(np.asarray(ref), axis=-1, keepdims=True)
+    disks = rng.standard_normal((6, 32, 3)).astype(np.float32)
+    disks[..., 2] *= 0.01
+    acc_far = metrics.one_nna(jnp.asarray(disks), jnp.asarray(shells), block=4)
+    assert float(acc_far) >= 0.9
