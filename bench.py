@@ -76,7 +76,9 @@ def cpu_baseline_sps():
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             return json.load(f)["cpu_samples_per_sec"]
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # PALLAS_AXON_POOL_IPS must be cleared: the image's sitecustomize
+    # otherwise forces the axon TPU platform over JAX_PLATFORMS.
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     code = (
         "import bench, json; t = bench.measure(bench.CPU_STEPS, repeats=1); "
         "full = t * bench.NUM_STEPS / bench.CPU_STEPS; "

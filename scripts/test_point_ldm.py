@@ -138,6 +138,16 @@ def main():
             continue
         checkpoint_path = os.path.join(args.checkpoint_dir, file_name)
         model_name = f"{subdirectory_name}-{file_name[:-5]}"
+        # Two-phase LDM runs drop vae-* and latent_diffusion-* checkpoints in
+        # the same directory (train_point_ldm.py:59-73,119-133); this script
+        # evaluates the VAEs (reference test_point_ldm.py:157 loads VAE3D).
+        import json as _json
+
+        with open(checkpoint_path + ".json") as f:
+            kind = _json.load(f).get("hparams", {}).get("task", "")
+        if kind not in ("vae3d_large", "vae3d"):
+            logger.info(f"Skipping non-VAE checkpoint: {file_name} ({kind})")
+            continue
         logger.info(f"Testing model: {model_name}")
         task, state, _ = load_task_checkpoint(checkpoint_path)
         test_vae_generation(

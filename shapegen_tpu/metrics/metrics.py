@@ -67,7 +67,9 @@ def chamfer_distance(
     """Chamfer distance with the reference's x1e3 scaling (metrics.py:23-47).
 
     Handles N != M (the reference's unit test deliberately uses unequal point
-    counts, units.py:7-10).
+    counts, units.py:7-10). For large batched eval on TPU, prefer
+    ops.pallas_kernels.chamfer_distance_pallas — same semantics, streaming
+    VMEM kernel that never materializes the (N, M) matrix in HBM.
     """
     x = _as_batched(x)
     y = _as_batched(y)

@@ -78,16 +78,31 @@ class PointUNetLarge(nn.Module):
         g = DenseBN(2048, dtype=self.dtype)(x4, train)
         g = DenseBN(4096, dtype=self.dtype)(g, train)
         g = jnp.max(g, axis=1, keepdims=True)  # (B, 1, 4096)
-        g = jnp.broadcast_to(g, (B, N, 4096))
 
         r4 = nn.Dense(1024, kernel_init=kaiming_out, dtype=self.dtype)(x4)
         r3 = nn.Dense(512, kernel_init=kaiming_out, dtype=self.dtype)(x3)
         r2 = nn.Dense(256, kernel_init=kaiming_out, dtype=self.dtype)(x2)
         r1 = nn.Dense(128, kernel_init=kaiming_out, dtype=self.dtype)(x1)
 
-        d = PointNetLayer(1024, 512, dtype=self.dtype)(
-            jnp.concatenate([g, r4], axis=-1), train
-        )
+        # dec4's first rung is Dense(concat([g_broadcast, r4])). Since the
+        # global feature is identical for every point, split the kernel:
+        # Dense[W_g; W_r](concat) == Dense_g(g) + Dense_r(r4). The g branch
+        # runs once per cloud ((B,1,4096) -> (B,1,1024)) and broadcast-adds —
+        # identical math (the reference materializes a (B,N,4096) repeat,
+        # networks.py:808,811), but ~40% fewer dec4 FLOPs and no (B,N,4096)
+        # tensor in HBM/VMEM.
+        g_proj = nn.Dense(
+            1024, use_bias=False, kernel_init=kaiming_out, dtype=self.dtype
+        )(g)
+        d = nn.Dense(1024, kernel_init=kaiming_out, dtype=self.dtype)(r4) + g_proj
+        d = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(d)
+        d = nn.relu(d)
+        d = DenseBN(1024, dtype=self.dtype)(d, train)
+        d = DenseBN(512, dtype=self.dtype)(d, train)
+
         d = PointNetLayer(512, 256, dtype=self.dtype)(
             jnp.concatenate([d, r3], axis=-1), train
         )
@@ -123,12 +138,21 @@ class SimplePointUNet(nn.Module):
         x3 = PointNetLayer(256, dtype=self.dtype)(x2, train)
 
         g = DenseBN(1024, dtype=self.dtype)(x3, train)
-        g = jnp.max(g, axis=1, keepdims=True)
-        g = jnp.broadcast_to(g, (B, N, 1024))
+        g = jnp.max(g, axis=1, keepdims=True)  # (B, 1, 1024)
 
-        d = PointNetLayer(256, dtype=self.dtype)(
-            jnp.concatenate([g, x3], axis=-1), train
-        )
+        # Split-kernel global injection (see PointUNetLarge): the g branch of
+        # dec3's first rung runs once per cloud and broadcast-adds.
+        g_proj = nn.Dense(
+            256, use_bias=False, kernel_init=kaiming_out, dtype=self.dtype
+        )(g)
+        d = nn.Dense(256, kernel_init=kaiming_out, dtype=self.dtype)(x3) + g_proj
+        d = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(d)
+        d = nn.relu(d)
+        d = DenseBN(256, dtype=self.dtype)(d, train)
+        d = DenseBN(256, dtype=self.dtype)(d, train)
         d = PointNetLayer(128, dtype=self.dtype)(
             jnp.concatenate([d, x2], axis=-1), train
         )

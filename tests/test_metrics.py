@@ -92,18 +92,47 @@ def test_hungarian_emd_permutation_invariant(rng):
     assert emd < 1e-6
 
 
-def test_sinkhorn_properties(rng):
-    # NOTE: the reference's Sinkhorn normalizes the cost by its *global max*
-    # (metrics.py:123), putting it on a different scale than the exact
-    # Hungarian EMD — true upstream as well, so we test properties, not
-    # agreement: positivity, near-zero on identical clouds, and ordering.
-    x = jnp.asarray(rng.standard_normal((1, 48, 3)).astype(np.float32))
-    shells = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-    disks = x.at[..., 2].multiply(0.01)
-    same = float(metrics.sinkhorn_emd(x, x + 1e-6))
-    far = float(metrics.sinkhorn_emd(shells, disks))
-    assert 0 <= same < 0.05
-    assert far > same
+def test_sinkhorn_matches_reference_equations(rng):
+    """Fidelity test: our lax.while_loop Sinkhorn reproduces the reference's
+    exact update equations (metrics.py:94-158) stepped in numpy.
+
+    NOTE the reference normalizes the cost by its *global max* and caps
+    iterations at 100 with eps=1e-2 — a weak approximation whose value is on
+    its own scale (can even be non-monotone in cloud separation). We
+    reproduce that behavior exactly rather than "fixing" it.
+    """
+    x = rng.standard_normal((2, 40, 3)).astype(np.float32)
+    y = rng.standard_normal((2, 48, 3)).astype(np.float32)
+    got = float(metrics.sinkhorn_emd(jnp.asarray(x), jnp.asarray(y)))
+
+    def cube(p):
+        center = (p.max(1, keepdims=True) + p.min(1, keepdims=True)) / 2
+        p = p - center
+        return p / np.abs(p).max(axis=(1, 2), keepdims=True)
+
+    from scipy.special import logsumexp
+
+    xn, yn = cube(x), cube(y)
+    C = np.linalg.norm(xn[:, :, None] - yn[:, None, :], axis=-1)
+    C = C / C.max()
+    eps, lam, thresh = 1e-2, 100.0, 1e-5
+    B, n, m = C.shape[0], C.shape[1], C.shape[2]
+    alpha = np.zeros((B, n, 1))
+    beta = np.zeros((B, m, 1))
+    log_mu = np.log(np.full((B, n, 1), 1.0 / n) + 1e-10)
+    log_nu = np.log(np.full((B, m, 1), 1.0 / m) + 1e-10)
+    for _ in range(100):
+        a_prev, b_prev = alpha, beta
+        alpha = eps * (log_mu - logsumexp(
+            -lam * C + beta.transpose(0, 2, 1), axis=2, keepdims=True))
+        beta = eps * (log_nu - logsumexp(
+            -lam * C.transpose(0, 2, 1) + alpha.transpose(0, 2, 1),
+            axis=2, keepdims=True))
+        if np.abs(alpha - a_prev).max() < thresh and np.abs(beta - b_prev).max() < thresh:
+            break
+    P = np.exp(-lam * C + alpha + beta.transpose(0, 2, 1))
+    want = float((P * C).sum(axis=(1, 2)).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-3)
 
 
 def test_compute_metrics_triple(rng):
