@@ -44,6 +44,47 @@ def fps_indices_device(points: np.ndarray, npoint: int, key) -> np.ndarray:
     return np.asarray(jax.device_get(idx))[0]
 
 
+def preprocess_data_fps_only(
+    input_dir, output_dir, vis_dir, num_points=2048,
+    max_visualizations=100, seed=24,
+):
+    """FPS-only variant (preprocessing.py:60-114)."""
+    for d in (output_dir, vis_dir):
+        os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    files = sorted(f for f in os.listdir(input_dir) if f.endswith(".dd"))
+    vis_count = 0
+    for i, filename in enumerate(files):
+        voxel_data = load_dd(os.path.join(input_dir, filename))
+        point_cloud = voxel_to_point_cloud(voxel_data)
+        original = normalize_point_cloud(point_cloud)
+        n = len(point_cloud)
+
+        if n >= num_points:
+            idx = fps_indices_device(
+                point_cloud, num_points, jax.random.fold_in(key, i)
+            )
+        else:
+            extra = rng.choice(n, num_points - n, replace=True)
+            idx = np.concatenate([np.arange(n), extra])
+        sampled = normalize_point_cloud(point_cloud[idx])
+
+        save_dd(os.path.join(output_dir, filename), sampled)
+        if vis_count < max_visualizations:
+            from shapegen_tpu.utils import save_point_cloud_comparison
+
+            vis_path = os.path.join(
+                vis_dir, os.path.splitext(filename)[0] + "_comparison.png"
+            )
+            save_point_cloud_comparison(
+                original, sampled, vis_path,
+                f"Point Cloud Comparison - {filename}",
+            )
+            vis_count += 1
+
+
 def preprocess_data_fps_and_random(
     input_dir, fps_output_dir, random_output_dir, vis_dir,
     num_points=2048, max_visualizations=100, seed=24,
@@ -104,11 +145,19 @@ def main():
     p.add_argument("--vis-dir", default=os.path.join("data", "point_cloud_visualizations"))
     p.add_argument("--num-points", type=int, default=2048)
     p.add_argument("--max-visualizations", type=int, default=100)
+    p.add_argument("--fps-only", action="store_true", default=False,
+                   help="run the FPS-only variant (preprocessing.py:60-114)")
     args = p.parse_args()
-    preprocess_data_fps_and_random(
-        args.input_dir, args.fps_output_dir, args.random_output_dir,
-        args.vis_dir, args.num_points, args.max_visualizations,
-    )
+    if args.fps_only:
+        preprocess_data_fps_only(
+            args.input_dir, args.fps_output_dir, args.vis_dir,
+            args.num_points, args.max_visualizations,
+        )
+    else:
+        preprocess_data_fps_and_random(
+            args.input_dir, args.fps_output_dir, args.random_output_dir,
+            args.vis_dir, args.num_points, args.max_visualizations,
+        )
 
 
 if __name__ == "__main__":

@@ -107,6 +107,30 @@ def main():
             trainer.add_figure(f"diffusion_generated_sample_2d_{i}", fig, epoch)
             plt.close(fig)
 
+    def on_epoch_end_reconstruction(trainer, state, epoch):
+        # Validation reconstruction round-trip figure: add t=0.01 noise to a
+        # val sample and denoise via sample3 (diffusion.py:114-136 parity).
+        if args.viz_samples <= 0:
+            return
+        batch = jnp.asarray(next(iter(data_module.val_dataloader())))
+        sample_idx = batch.shape[0] // 2
+        x = batch[sample_idx : sample_idx + 1]
+        t = jnp.full((1,), 0.01)
+        noisy, _, _, _ = task.add_noise(
+            jax.random.fold_in(jax.random.PRNGKey(args.seed), 999 + epoch), x, t
+        )
+        recon = task.sample3(state, noisy, t, num_steps=args.viz_steps)
+        from shapegen_tpu.utils import plot_comparison_point_clouds
+
+        fig = plot_comparison_point_clouds(
+            jax.device_get(x[0]), jax.device_get(recon[0]),
+            "Point Cloud Comparison", "Input", "Reconstructed",
+        )
+        trainer.add_figure(
+            f"input_vs_reconstructed_point_cloud_3d_0_{sample_idx}", fig, epoch
+        )
+        plt.close(fig)
+
     cfg = TrainerConfig(
         max_epochs=args.max_epochs,
         ckpt_dir=os.path.join(args.ckpt_root, "point_ddpm", timestamp),
@@ -117,7 +141,8 @@ def main():
         seed=args.seed,
     )
     trainer = Trainer(
-        task, cfg, mesh=mesh, logger=logger, epoch_end_hooks=[on_epoch_end]
+        task, cfg, mesh=mesh, logger=logger,
+        epoch_end_hooks=[on_epoch_end, on_epoch_end_reconstruction],
     )
 
     logger.info("Starting Diffusion Training")

@@ -1,6 +1,7 @@
 from shapegen_tpu.data.dataset import (  # noqa: F401
     PointCloudDataset,
     PointCloudDataDirectoryModule,
+    PointCloudDataModule,
     load_dd,
     save_dd,
 )

@@ -101,8 +101,47 @@ def rotate_around_y_np(pc: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return pc @ rot
 
 
+class PointCloudDataModule:
+    """In-memory data module over a preloaded point-cloud array
+    (legacy; data.py:12-46)."""
+
+    def __init__(self, point_clouds, batch_size: int = 32,
+                 train_val_split: float = 0.8, seed: int = 24):
+        self.point_clouds = np.asarray(point_clouds, np.float32)
+        self.batch_size = batch_size
+        self.train_val_split = train_val_split
+        self.seed = seed
+        self.train_data = None
+        self.val_data = None
+
+    def setup(self, stage=None):
+        n = len(self.point_clouds)
+        perm = np.random.default_rng(self.seed).permutation(n)
+        train_size = int(self.train_val_split * n)
+        self.train_data = self.point_clouds[perm[:train_size]]
+        self.val_data = self.point_clouds[perm[train_size:]]
+
+    def _batches(self, data, shuffle):
+        order = np.arange(len(data))
+        if shuffle:
+            order = np.random.default_rng(self.seed).permutation(order)
+        for i in range(0, len(order), self.batch_size):
+            yield data[order[i : i + self.batch_size]]
+
+    def train_dataloader(self):
+        return self._batches(self.train_data, shuffle=True)
+
+    def val_dataloader(self):
+        return self._batches(self.val_data, shuffle=False)
+
+
 class PointCloudDataset:
-    """Per-file lazy dataset over a directory of .dd files (data.py:48-307)."""
+    """Per-file lazy dataset over a directory of .dd files (data.py:48-307).
+
+    sampling: 'random' (default, data.py:240-254) or 'fps' — the reference's
+    slow in-loader FPS option (data.py:256-286, "makes dataloading very
+    slow"); here it calls the native C++ FPS so it is actually usable.
+    """
 
     def __init__(
         self,
@@ -116,6 +155,7 @@ class PointCloudDataset:
         resolution: int = 32,
         relevant_object_categories: Optional[Sequence[str]] = None,
         seed: int = 24,
+        sampling: str = "random",
     ):
         self.data_dir = data_dir
         self.num_points = num_points
@@ -126,6 +166,9 @@ class PointCloudDataset:
         self.rotate = rotate
         self.resolution = resolution
         self.categories = list(relevant_object_categories or ["all"])
+        if sampling not in ("random", "fps"):
+            raise ValueError(f"sampling must be 'random' or 'fps', got {sampling!r}")
+        self.sampling = sampling
         self._rng = np.random.default_rng(seed)
         self._rng_lock = threading.Lock()
 
@@ -191,6 +234,14 @@ class PointCloudDataset:
         if self.output_mode == "point_clouds":
             if self.normalize:
                 point_cloud = normalize_point_cloud_np(point_cloud)
+            if self.sampling == "fps" and len(point_cloud) > self.num_points:
+                from shapegen_tpu.native import fps_indices
+
+                idx = fps_indices(
+                    point_cloud.astype(np.float32), self.num_points,
+                    start_idx=int(rng.integers(0, len(point_cloud))),
+                )
+                return point_cloud[idx].astype(np.float32)
             return sample_point_cloud_np(
                 point_cloud, self.num_points, rng
             ).astype(np.float32)

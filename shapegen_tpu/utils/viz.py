@@ -141,3 +141,79 @@ def save_to_ply(filename, points):
 def save_point_cloud(point_cloud, filename):
     """CSV export (utils.py:387-395)."""
     np.savetxt(filename, _to_numpy(point_cloud), delimiter=",")
+
+
+def get_coords(dims):
+    """Meshgrid coordinates in [-1, 1]^3 (utils.py:8-26)."""
+    if isinstance(dims, int):
+        dims = np.array([dims, dims, dims])
+    axes = [np.linspace(-1, 1, d) for d in dims]
+    x1, y1, z1 = np.meshgrid(*axes)
+    return np.stack([x1, y1, z1])
+
+
+def voxel_grid_to_point_cloud(voxels, dims=None, threshold=0.5):
+    """Occupied-cell coordinates in [-1, 1] space (utils.py:81-100 — the
+    normalized meshgrid variant; for integer scan-order coordinates see
+    native.voxels_to_points / ops.voxel_to_points_padded)."""
+    voxels = _to_numpy(voxels)
+    if dims is None:
+        dims = np.array(voxels.shape[:3])
+    coords = get_coords(dims)
+    coords_flat = coords.reshape(3, -1).T
+    return coords_flat[voxels.flatten() > threshold]
+
+
+def plot_single_voxel_graph(ax, coords, voxels):
+    """Scatter occupied cells onto an existing 3D axis (utils.py:46-61)."""
+    mask = voxels > 0
+    points = np.array([coords[0, mask], coords[1, mask], coords[2, mask]]).T
+    ax.scatter(points[:, 0], points[:, 1], points[:, 2], s=1, c="k")
+    return points
+
+
+def plot_voxels(voxels, save_ply=False, ply_path="object.ply"):
+    """Voxel scatter figure + optional PLY export (utils.py:63-79)."""
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    coords = get_coords(_to_numpy(voxels).shape[0])
+    points = plot_single_voxel_graph(ax, coords, _to_numpy(voxels))
+    if save_ply and len(points):
+        save_to_ply(ply_path, points)
+    return fig
+
+
+def plot_3d(data, is_voxel=True):
+    """Single 3D object figure (utils.py:128-154)."""
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    points = voxel_grid_to_point_cloud(data) if is_voxel else _to_numpy(data)
+    if len(points):
+        ax.scatter(points[:, 0], points[:, 1], points[:, 2], c="b", s=5)
+    ax.set_xlabel("X")
+    ax.set_ylabel("Y")
+    ax.set_zlabel("Z")
+    ax.set_xlim(-1, 1)
+    ax.set_ylim(-1, 1)
+    ax.set_zlim(-1, 1)
+    ax.set_title("3D Object Visualization")
+    return fig
+
+
+def plot_multiple_3d(data_list, is_voxel=True, rows=1, cols=1):
+    """Grid of 3D object figures (utils.py:156-188)."""
+    fig = plt.figure(figsize=(6 * cols, 6 * rows))
+    for i, data in enumerate(data_list):
+        ax = fig.add_subplot(rows, cols, i + 1, projection="3d")
+        points = voxel_grid_to_point_cloud(data) if is_voxel else _to_numpy(data)
+        if len(points):
+            ax.scatter(points[:, 0], points[:, 1], points[:, 2], c="b", s=5)
+        ax.set_xlabel("X")
+        ax.set_ylabel("Y")
+        ax.set_zlabel("Z")
+        ax.set_xlim(-1, 1)
+        ax.set_ylim(-1, 1)
+        ax.set_zlim(-1, 1)
+        ax.set_title(f"Object {i + 1}")
+    plt.tight_layout()
+    return fig
