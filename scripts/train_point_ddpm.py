@@ -149,13 +149,15 @@ def main():
     state = trainer.fit(data_module, state=state, resume_from=None)
 
     # Post-training samples (train_point_ddpm.py:91-99 parity).
-    samples = task.sample(
-        state, jax.random.PRNGKey(args.seed), args.final_samples, args.num_points
-    )
-    for i, sample in enumerate(jax.device_get(samples)):
-        fig = plot_point_cloud_3d(sample)
-        plt.savefig(f"generated_diffusion_sample_{i}.png")
-        plt.close(fig)
+    if args.final_samples > 0:
+        samples = task.sample(
+            state, jax.random.PRNGKey(args.seed), args.final_samples,
+            args.num_points,
+        )
+        for i, sample in enumerate(jax.device_get(samples)):
+            fig = plot_point_cloud_3d(sample)
+            plt.savefig(f"generated_diffusion_sample_{i}.png")
+            plt.close(fig)
 
     logger.info(f"Training completed at {datetime.now().strftime('%Y-%m-%d %H:%M:%S')}")
     logger.info(f"Generated {args.final_samples} samples")

@@ -99,6 +99,23 @@ class Trainer:
         if self.tb is not None:
             self.tb.add_figure(tag, fig, global_step=epoch)
 
+    def _device_batch(self, batch):
+        """Host batch -> device, padded to a device multiple under a mesh.
+
+        Sharding requires the batch dim divisible by the mesh; the final
+        partial batch is padded by repeating its first rows (slightly
+        over-weights them in that batch's metrics — the alternative is
+        dropping the tail, which Lightning doesn't do either).
+        """
+        batch = jnp.asarray(batch)
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            rem = batch.shape[0] % n
+            if rem:
+                pad = batch[: n - rem]
+                batch = jnp.concatenate([batch, pad], axis=0)
+        return shard_batch(batch, self.mesh)
+
     # ------------------------------------------------------------------- fit
     def fit(
         self,
@@ -143,7 +160,7 @@ class Trainer:
             # ---- train
             train_metrics = defaultdict(list)
             for batch in train_loader:
-                batch = shard_batch(jnp.asarray(batch), self.mesh)
+                batch = self._device_batch(batch)
                 step_rng = jax.random.fold_in(rng, step)
                 state, metrics = self._train_step(state, batch, step_rng, epoch_dev)
                 for k, v in metrics.items():
@@ -154,7 +171,7 @@ class Trainer:
             val_metrics = defaultdict(list)
             if (epoch + 1) % cfg.val_every_epochs == 0:
                 for i, batch in enumerate(val_loader):
-                    batch = shard_batch(jnp.asarray(batch), self.mesh)
+                    batch = self._device_batch(batch)
                     v_rng = jax.random.fold_in(rng, 10_000_000 + epoch * 10_000 + i)
                     metrics = self._eval_step(state, batch, v_rng, epoch_dev)
                     for k, v in metrics.items():
