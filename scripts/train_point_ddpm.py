@@ -24,7 +24,6 @@ from shapegen_tpu import models  # noqa: E402
 from shapegen_tpu.data import PointCloudDataDirectoryModule  # noqa: E402
 from shapegen_tpu.parallel import make_mesh  # noqa: E402
 from shapegen_tpu.train import Trainer, TrainerConfig, tasks  # noqa: E402
-from shapegen_tpu.train.factory import load_task_checkpoint  # noqa: E402
 from shapegen_tpu.utils import (  # noqa: E402
     plot_point_cloud_2d,
     plot_point_cloud_3d,
@@ -46,6 +45,8 @@ def parse_args():
     p.add_argument("--time-dim", type=int, default=256)
     p.add_argument("--seed", type=int, default=24)
     p.add_argument("--checkpoint", default=None, help="resume from this ckpt")
+    p.add_argument("--auto-resume-dir", default=None,
+                   help="resume from the latest checkpoint in this directory")
     p.add_argument("--num-devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--viz-samples", type=int, default=4,
@@ -75,12 +76,26 @@ def main():
         seed=args.seed,
     )
 
-    state = None
+    if args.auto_resume_dir and not args.checkpoint:
+        from shapegen_tpu.train.checkpoints import find_latest_checkpoint
+
+        latest = find_latest_checkpoint(args.auto_resume_dir)
+        if latest:
+            args.checkpoint = latest
+            logger.info(f"Auto-resume: latest checkpoint is {latest}")
+
     if args.checkpoint:
+        # Rebuild the task from stored hparams (Lightning's argument-free
+        # load_from_checkpoint parity, train_point_ddpm.py:51-54); fit() then
+        # restores params/optimizer/epoch/scheduler from the checkpoint.
+        import json as _json
+
+        from shapegen_tpu.train.factory import task_from_hparams
+
         logger.info(f"Loading Diffusion model from checkpoint: {args.checkpoint}")
-        task, state, _ = load_task_checkpoint(
-            args.checkpoint, max_epochs=args.max_epochs
-        )
+        with open(args.checkpoint + ".json") as f:
+            hparams = _json.load(f).get("hparams", {})
+        task = task_from_hparams(hparams, max_epochs=args.max_epochs)
         assert task.num_points == args.num_points
     else:
         model = models.PointUNetLarge(dim=args.dim, time_dim=args.time_dim)
@@ -146,7 +161,7 @@ def main():
     )
 
     logger.info("Starting Diffusion Training")
-    state = trainer.fit(data_module, state=state, resume_from=None)
+    state = trainer.fit(data_module, resume_from=args.checkpoint)
 
     # Post-training samples (train_point_ddpm.py:91-99 parity).
     if args.final_samples > 0:

@@ -6,3 +6,7 @@ from shapegen_tpu.parallel.mesh import (  # noqa: F401
     replicate_state,
     shard_sample_count,
 )
+from shapegen_tpu.parallel.distributed import (  # noqa: F401
+    initialize_distributed,
+    shard_files_for_host,
+)

@@ -1,0 +1,56 @@
+"""Multi-host (pod / DCN) support.
+
+The reference is strictly single-process (SURVEY.md §2.10). For pod slices,
+JAX's runtime handles ICI collectives inside a host and DCN across hosts; the
+framework-side obligations are (1) initializing the distributed runtime and
+(2) sharding the *input pipeline* per host so each process feeds its local
+chips — both provided here. Single-host callers can ignore this module
+entirely (every helper degrades to a no-op).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed for a multi-host slice.
+
+    No-op when neither arguments nor the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) are set —
+    i.e. in the reference-parity single-host case.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]),
+    )
+
+
+def shard_files_for_host(
+    files: Sequence[str],
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> list:
+    """Deterministic per-host shard of a file list (round-robin).
+
+    Each host's input pipeline reads only its shard; batches assembled per
+    host then combine into the global batch via the data-sharded `jit`
+    (host-local data placement is what `jax.make_array_from_process_local_data`
+    consumes on pods).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return [f for i, f in enumerate(files) if i % pc == pi]

@@ -87,6 +87,49 @@ class TopKCheckpointer:
         return self._kept[0][1] if self._kept else None
 
 
+def save_last_checkpoint(
+    dirpath: str, state: Any, epoch: int, hparams: Optional[Dict] = None,
+    extra: Optional[Dict] = None,
+) -> str:
+    """Overwrite a rolling 'last.ckpt' for crash recovery (an extension over
+    the reference, whose only recovery is manually pointing at a top-k file,
+    SURVEY.md §5)."""
+    path = os.path.join(os.path.abspath(dirpath), "last.ckpt")
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(tmp, jax.device_get(state))
+    ckpt.wait_until_finished()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    with open(path + ".json", "w") as f:
+        json.dump(
+            {"epoch": epoch, "monitor": "last", "value": None,
+             "hparams": hparams or {}, "extra": extra or {}},
+            f,
+        )
+    return path
+
+
+def find_latest_checkpoint(dirpath: str) -> Optional[str]:
+    """Most recently written .ckpt in a directory (prefers last.ckpt)."""
+    if not os.path.isdir(dirpath):
+        return None
+    last = os.path.join(dirpath, "last.ckpt")
+    if os.path.exists(last):
+        return last
+    ckpts = [
+        os.path.join(dirpath, f)
+        for f in os.listdir(dirpath)
+        if f.endswith(".ckpt")
+    ]
+    if not ckpts:
+        return None
+    return max(ckpts, key=os.path.getmtime)
+
+
 def load_checkpoint(path: str, target: Any = None) -> Tuple[Any, Dict]:
     """Restore (state, metadata). With `target`, restores into its structure."""
     ckpt = ocp.StandardCheckpointer()

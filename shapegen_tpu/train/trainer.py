@@ -31,7 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from shapegen_tpu.parallel.mesh import replicate_state, shard_batch
-from shapegen_tpu.train.checkpoints import TopKCheckpointer, load_checkpoint
+from shapegen_tpu.train.checkpoints import (
+    TopKCheckpointer,
+    load_checkpoint,
+    save_last_checkpoint,
+)
 from shapegen_tpu.train.state import get_learning_rate, set_learning_rate
 
 
@@ -139,12 +143,23 @@ class Trainer:
 
         scheduler = self.task.make_scheduler()
         if resume_from:
-            restored, meta = load_checkpoint(
-                resume_from, jax.device_get(state)
+            target = jax.device_get(
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                }
             )
-            state = jax.device_put(restored)
+            restored, meta = load_checkpoint(resume_from, target)
+            state = state.replace(
+                params=jax.device_put(restored["params"]),
+                batch_stats=jax.device_put(restored["batch_stats"]),
+                opt_state=jax.device_put(restored["opt_state"]),
+                step=jnp.asarray(restored["step"]),
+            )
             start_epoch = int(meta.get("epoch", -1)) + 1
-            sched_state = meta.get("extra", {}).get("scheduler")
+            sched_state = (meta.get("extra") or {}).get("scheduler")
             if scheduler is not None and sched_state:
                 scheduler.load_state_dict(sched_state)
                 state = set_learning_rate(state, scheduler.lr)
@@ -220,6 +235,9 @@ class Trainer:
                     host_state, epoch, epoch_metrics["train_loss"],
                     self.task.hparams, extra,
                 )
+            save_last_checkpoint(
+                cfg.ckpt_dir, host_state, epoch, self.task.hparams, extra
+            )
 
             # ---- user hooks (sample generation figures etc.)
             for hook in self.epoch_end_hooks:
