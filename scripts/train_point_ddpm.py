@@ -47,6 +47,9 @@ def parse_args():
     p.add_argument("--checkpoint", default=None, help="resume from this ckpt")
     p.add_argument("--auto-resume-dir", default=None,
                    help="resume from the latest checkpoint in this directory")
+    p.add_argument("--conditional", action="store_true", default=False,
+                   help="category-conditional model with classifier-free "
+                        "guidance (extension over the reference)")
     p.add_argument("--num-devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--viz-samples", type=int, default=4,
@@ -74,7 +77,9 @@ def main():
         augmentations=args.augmentations,
         relevant_object_categories=args.categories,
         seed=args.seed,
+        return_labels=args.conditional,
     )
+    num_classes = 55 if args.conditional else None
 
     if args.auto_resume_dir and not args.checkpoint:
         from shapegen_tpu.train.checkpoints import find_latest_checkpoint
@@ -98,10 +103,12 @@ def main():
         task = task_from_hparams(hparams, max_epochs=args.max_epochs)
         assert task.num_points == args.num_points
     else:
-        model = models.PointUNetLarge(dim=args.dim, time_dim=args.time_dim)
+        model = models.PointUNetLarge(
+            dim=args.dim, time_dim=args.time_dim, num_classes=num_classes
+        )
         task = tasks.PointDiffusionTask(
             model, num_points=args.num_points, lr=args.lr,
-            noise_schedule=args.noise_schedule,
+            noise_schedule=args.noise_schedule, num_classes=num_classes,
         )
 
     mesh = make_mesh(args.num_devices) if (args.num_devices or 1) > 1 else None

@@ -156,6 +156,7 @@ class PointCloudDataset:
         relevant_object_categories: Optional[Sequence[str]] = None,
         seed: int = 24,
         sampling: str = "random",
+        return_labels: bool = False,
     ):
         self.data_dir = data_dir
         self.num_points = num_points
@@ -169,6 +170,12 @@ class PointCloudDataset:
         if sampling not in ("random", "fps"):
             raise ValueError(f"sampling must be 'random' or 'fps', got {sampling!r}")
         self.sampling = sampling
+        # Category conditioning extension: label = index of the synset id in
+        # the sorted 55-class map (stable across runs/categories).
+        self.return_labels = return_labels
+        self._synset_to_label = {
+            sid: i for i, sid in enumerate(sorted(SHAPENET_ID_TO_CATEGORY))
+        }
         self._rng = np.random.default_rng(seed)
         self._rng_lock = threading.Lock()
 
@@ -194,7 +201,18 @@ class PointCloudDataset:
         with self._rng_lock:
             return np.random.default_rng(self._rng.integers(0, 2**63))
 
-    def __getitem__(self, idx: int) -> np.ndarray:
+    def label_for(self, idx: int) -> int:
+        """Category index for the idx-th file (55-class global indexing)."""
+        synset = self.file_list[idx].split("_")[4]
+        return self._synset_to_label.get(synset, len(self._synset_to_label))
+
+    def __getitem__(self, idx: int):
+        out = self._get_sample(idx)
+        if self.return_labels:
+            return out, np.int32(self.label_for(idx))
+        return out
+
+    def _get_sample(self, idx: int) -> np.ndarray:
         path = os.path.join(self.data_dir, self.file_list[idx])
         rng = self._child_rng()
 
@@ -295,7 +313,12 @@ class _PrefetchLoader:
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for batch_idx in batches:
                     samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    out_q.put(np.stack(samples))
+                    if isinstance(samples[0], tuple):
+                        out_q.put(
+                            tuple(np.stack(parts) for parts in zip(*samples))
+                        )
+                    else:
+                        out_q.put(np.stack(samples))
             out_q.put(sentinel)
 
         thread = threading.Thread(target=produce, daemon=True)
@@ -326,6 +349,7 @@ class PointCloudDataDirectoryModule:
         relevant_object_categories: Optional[Sequence[str]] = None,
         seed: int = 24,
         drop_last_train: bool = False,
+        return_labels: bool = False,
     ):
         self.data_dir = data_dir
         self.num_points = num_points
@@ -339,6 +363,7 @@ class PointCloudDataDirectoryModule:
         self.relevant_object_categories = relevant_object_categories
         self.seed = seed
         self.drop_last_train = drop_last_train
+        self.return_labels = return_labels
         self.dataset: Optional[PointCloudDataset] = None
 
     def setup(self):
@@ -352,6 +377,7 @@ class PointCloudDataDirectoryModule:
             rotate=False,  # reference: rotate defaults off either way
             relevant_object_categories=self.relevant_object_categories,
             seed=self.seed,
+            return_labels=self.return_labels,
         )
         n = len(self.dataset)
         perm = np.random.default_rng(self.seed).permutation(n)

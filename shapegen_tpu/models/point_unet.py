@@ -21,7 +21,7 @@ materializing .repeat, networks.py:808).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -60,13 +60,27 @@ class PointUNetLarge(nn.Module):
 
     dim: int = 256
     time_dim: int = 256
+    num_classes: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t, train: bool = False):
-        # x: (B, N, 3), t: (B,) continuous in [0, 1]. Returns (B, N, 3).
+    def __call__(self, x, t, y=None, train: bool = False):
+        # x: (B, N, 3), t: (B,) in [0, 1], y: optional (B,) int category ids.
+        # Conditioning is an extension over the reference (which trains one
+        # unconditional model per category): a learned class embedding is
+        # added to the sinusoidal time embedding; index `num_classes` is the
+        # classifier-free-guidance null token. num_classes=None == parity.
         B, N, _ = x.shape
-        t_emb = TimeMLP(self.dim, self.time_dim, dtype=self.dtype)(t)
+        emb = timestep_embedding(t, self.time_dim)
+        if self.num_classes is not None:
+            if y is None:
+                y = jnp.full((B,), self.num_classes, jnp.int32)  # null token
+            emb = emb + nn.Embed(
+                self.num_classes + 1, self.time_dim, dtype=self.dtype
+            )(y.astype(jnp.int32))
+        t_emb = nn.Dense(self.dim, kernel_init=kaiming_out, dtype=self.dtype)(emb)
+        t_emb = nn.silu(t_emb)
+        t_emb = nn.Dense(self.dim, kernel_init=kaiming_out, dtype=self.dtype)(t_emb)
         t_tiled = jnp.broadcast_to(t_emb[:, None, :], (B, N, t_emb.shape[-1]))
         h = jnp.concatenate([x.astype(self.dtype), t_tiled], axis=-1)
 

@@ -41,6 +41,14 @@ class TopKCheckpointer:
     def _is_better(self, a: float, b: float) -> bool:
         return a < b if self.mode == "min" else a > b
 
+    def would_save(self, value: float) -> bool:
+        """Admission check without touching the state (lets the trainer skip
+        the device->host state fetch when nothing would be written)."""
+        if len(self._kept) < self.save_top_k:
+            return True
+        worst = max(self._kept)[0] if self.mode == "min" else min(self._kept)[0]
+        return self._is_better(value, worst)
+
     def maybe_save(
         self,
         state: Any,

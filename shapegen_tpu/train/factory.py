@@ -32,14 +32,18 @@ def task_from_hparams(
 ):
     kind = hparams["task"]
     if kind == "point_diffusion":
+        num_classes = hparams.get("num_classes")
         model = models.PointUNetLarge(
-            dim=hparams.get("dim", 256), time_dim=hparams.get("time_dim", 256)
+            dim=hparams.get("dim", 256),
+            time_dim=hparams.get("time_dim", 256),
+            num_classes=num_classes,
         )
         return tasks.PointDiffusionTask(
             model,
             num_points=hparams.get("num_points", 2048),
             lr=hparams.get("lr", 1e-4),
             noise_schedule=hparams.get("noise_schedule", "cosine"),
+            num_classes=num_classes,
         )
     if kind == "latent_diffusion":
         if vae_model is None or vae_variables is None:

@@ -50,7 +50,13 @@ def _variables(state: TrainState) -> Dict:
 
 
 class PointDiffusionTask:
-    """Continuous-time eps-prediction diffusion on (B, N, 3) clouds."""
+    """Continuous-time eps-prediction diffusion on (B, N, 3) clouds.
+
+    With ``num_classes`` set (and a conditional model), batches are
+    (points, labels) tuples and training applies classifier-free label
+    dropout; conditional sampling supports guidance. This is an extension —
+    the reference trains one unconditional model per category.
+    """
 
     def __init__(
         self,
@@ -58,11 +64,15 @@ class PointDiffusionTask:
         num_points: int = 2048,
         lr: float = 1e-4,
         noise_schedule: str = "cosine",
+        num_classes: Optional[int] = None,
+        cond_drop_prob: float = 0.1,
     ):
         self.model = model
         self.num_points = num_points
         self.lr = lr
         self.schedule = get_schedule(noise_schedule)
+        self.num_classes = num_classes
+        self.cond_drop_prob = cond_drop_prob
         self.hparams = {
             "task": "point_diffusion",
             "num_points": num_points,
@@ -70,11 +80,18 @@ class PointDiffusionTask:
             "time_dim": model.time_dim,
             "lr": lr,
             "noise_schedule": noise_schedule,
+            "num_classes": num_classes,
         }
 
-    def init_state(self, rng: jax.Array, sample_batch: jnp.ndarray) -> TrainState:
-        t = jnp.zeros((sample_batch.shape[0],))
-        variables = self.model.init(rng, sample_batch, t, train=False)
+    def _split_batch(self, batch):
+        if isinstance(batch, (tuple, list)):
+            return batch[0], batch[1]
+        return batch, None
+
+    def init_state(self, rng: jax.Array, sample_batch) -> TrainState:
+        points, _ = self._split_batch(sample_batch)
+        t = jnp.zeros((points.shape[0],))
+        variables = self.model.init(rng, points, t, train=False)
         return TrainState.create(
             self.model.apply,
             variables["params"],
@@ -87,9 +104,21 @@ class PointDiffusionTask:
         return ReduceLROnPlateau(self.lr, factor=0.5, patience=5)
 
     def _loss(self, params, batch_stats, batch, rng, train: bool):
-        t_key, n_key = jax.random.split(rng)
-        t = diff.sample_timesteps(t_key, batch.shape[0])
-        x_t, noise, _, _ = diff.add_noise(n_key, batch, t, self.schedule)
+        points, labels = self._split_batch(batch)
+        t_key, n_key, d_key = jax.random.split(rng, 3)
+        t = diff.sample_timesteps(t_key, points.shape[0])
+        x_t, noise, _, _ = diff.add_noise(n_key, points, t, self.schedule)
+
+        kwargs = {}
+        if self.num_classes is not None and labels is not None:
+            if train and self.cond_drop_prob > 0:
+                # Classifier-free label dropout to the null token.
+                drop = (
+                    jax.random.uniform(d_key, labels.shape) < self.cond_drop_prob
+                )
+                labels = jnp.where(drop, self.num_classes, labels)
+            kwargs["y"] = labels
+
         if train:
             pred, mutated = self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
@@ -97,10 +126,12 @@ class PointDiffusionTask:
                 t,
                 train=True,
                 mutable=["batch_stats"],
+                **kwargs,
             )
             return diff.l1_eps_loss(noise, pred), mutated["batch_stats"]
         pred = self.model.apply(
-            {"params": params, "batch_stats": batch_stats}, x_t, t, train=False
+            {"params": params, "batch_stats": batch_stats},
+            x_t, t, train=False, **kwargs,
         )
         return diff.l1_eps_loss(noise, pred), batch_stats
 
@@ -147,6 +178,35 @@ class PointDiffusionTask:
         """DDIM from a given noisy state (diffusion.py:291)."""
         return samplers.ddim_sample_from(
             None, self.denoise_fn(state), x, start_t,
+            num_steps=num_steps, schedule=self.schedule,
+        )
+
+    def sample_conditional(
+        self,
+        state,
+        key,
+        labels: jnp.ndarray,
+        num_points: Optional[int] = None,
+        num_steps: int = 1000,
+        guidance_scale: float = 1.0,
+    ):
+        """Category-conditional DDIM sampling with classifier-free guidance
+        (extension; eps = (1+w)*eps_cond - w*eps_uncond for w > 0)."""
+        assert self.num_classes is not None, "task is unconditional"
+        num_points = num_points or self.num_points
+        labels = jnp.asarray(labels, jnp.int32)
+        null = jnp.full_like(labels, self.num_classes)
+        variables = _variables(state)
+
+        def denoise(x_t, t):
+            eps_c = self.model.apply(variables, x_t, t, y=labels, train=False)
+            if guidance_scale == 0.0:
+                return eps_c
+            eps_u = self.model.apply(variables, x_t, t, y=null, train=False)
+            return (1.0 + guidance_scale) * eps_c - guidance_scale * eps_u
+
+        return samplers.ddim_sample(
+            key, denoise, (labels.shape[0], num_points, 3),
             num_steps=num_steps, schedule=self.schedule,
         )
 

@@ -50,6 +50,7 @@ class TrainerConfig:
     seed: int = 24
     log_every_steps: int = 50
     val_every_epochs: int = 1
+    save_last_every: int = 1  # rolling last.ckpt cadence (epochs)
 
 
 class Trainer:
@@ -111,13 +112,17 @@ class Trainer:
         over-weights them in that batch's metrics — the alternative is
         dropping the tail, which Lightning doesn't do either).
         """
-        batch = jnp.asarray(batch)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
         if self.mesh is not None:
             n = self.mesh.devices.size
-            rem = batch.shape[0] % n
-            if rem:
-                pad = batch[: n - rem]
-                batch = jnp.concatenate([batch, pad], axis=0)
+
+            def pad(x):
+                rem = x.shape[0] % n
+                if rem:
+                    return jnp.concatenate([x, x[: n - rem]], axis=0)
+                return x
+
+            batch = jax.tree_util.tree_map(pad, batch)
         return shard_batch(batch, self.mesh)
 
     # ------------------------------------------------------------------- fit
@@ -139,7 +144,9 @@ class Trainer:
         if state is None:
             first = next(iter(val_loader if len(val_loader) else train_loader))
             init_rng, rng = jax.random.split(rng)
-            state = self.task.init_state(init_rng, jnp.asarray(first))
+            state = self.task.init_state(
+                init_rng, jax.tree_util.tree_map(jnp.asarray, first)
+            )
 
         scheduler = self.task.make_scheduler()
         if resume_from:
@@ -215,29 +222,39 @@ class Trainer:
                 state = set_learning_rate(state, new_lr)
 
             # ---- checkpoints (two monitors, Lightning parity)
-            host_state = jax.device_get(
-                {
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    "opt_state": state.opt_state,
-                    "step": state.step,
+            # Decide admission FIRST: the device->host state fetch is the
+            # expensive part (the whole params+optimizer tree), so skip it
+            # entirely on epochs where nothing would be written.
+            train_loss = epoch_metrics.get("train_loss")
+            want_val = val_loss is not None and self.val_ckpt.would_save(val_loss)
+            want_train = train_loss is not None and self.train_ckpt.would_save(
+                train_loss
+            )
+            want_last = (epoch + 1) % max(cfg.save_last_every, 1) == 0
+            if want_val or want_train or want_last:
+                host_state = jax.device_get(
+                    {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                        "step": state.step,
+                    }
+                )
+                extra = {
+                    "scheduler": scheduler.state_dict() if scheduler else None,
                 }
-            )
-            extra = {
-                "scheduler": scheduler.state_dict() if scheduler else None,
-            }
-            if val_loss is not None:
-                self.val_ckpt.maybe_save(
-                    host_state, epoch, val_loss, self.task.hparams, extra
-                )
-            if "train_loss" in epoch_metrics:
-                self.train_ckpt.maybe_save(
-                    host_state, epoch, epoch_metrics["train_loss"],
-                    self.task.hparams, extra,
-                )
-            save_last_checkpoint(
-                cfg.ckpt_dir, host_state, epoch, self.task.hparams, extra
-            )
+                if want_val:
+                    self.val_ckpt.maybe_save(
+                        host_state, epoch, val_loss, self.task.hparams, extra
+                    )
+                if want_train:
+                    self.train_ckpt.maybe_save(
+                        host_state, epoch, train_loss, self.task.hparams, extra
+                    )
+                if want_last:
+                    save_last_checkpoint(
+                        cfg.ckpt_dir, host_state, epoch, self.task.hparams, extra
+                    )
 
             # ---- user hooks (sample generation figures etc.)
             for hook in self.epoch_end_hooks:
