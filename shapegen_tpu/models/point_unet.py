@@ -40,15 +40,27 @@ Dtype = Any
 
 
 class TimeMLP(nn.Module):
-    """Linear -> SiLU -> Linear over the sinusoidal embedding (networks.py:737-741)."""
+    """Linear -> SiLU -> Linear over the sinusoidal embedding (networks.py:737-741).
+
+    With ``num_classes`` set, a learned class embedding is added to the
+    sinusoidal embedding first (category-conditioning extension; index
+    ``num_classes`` is the classifier-free-guidance null token).
+    """
 
     dim: int
     time_dim: int
+    num_classes: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t):
+    def __call__(self, t, y=None):
         emb = timestep_embedding(t, self.time_dim)
+        if self.num_classes is not None:
+            if y is None:
+                y = jnp.full((t.shape[0],), self.num_classes, jnp.int32)
+            emb = emb + nn.Embed(
+                self.num_classes + 1, self.time_dim, dtype=self.dtype
+            )(y.astype(jnp.int32))
         emb = nn.Dense(self.dim, kernel_init=kaiming_out, dtype=self.dtype)(emb)
         emb = nn.silu(emb)
         emb = nn.Dense(self.dim, kernel_init=kaiming_out, dtype=self.dtype)(emb)
@@ -71,16 +83,10 @@ class PointUNetLarge(nn.Module):
         # added to the sinusoidal time embedding; index `num_classes` is the
         # classifier-free-guidance null token. num_classes=None == parity.
         B, N, _ = x.shape
-        emb = timestep_embedding(t, self.time_dim)
-        if self.num_classes is not None:
-            if y is None:
-                y = jnp.full((B,), self.num_classes, jnp.int32)  # null token
-            emb = emb + nn.Embed(
-                self.num_classes + 1, self.time_dim, dtype=self.dtype
-            )(y.astype(jnp.int32))
-        t_emb = nn.Dense(self.dim, kernel_init=kaiming_out, dtype=self.dtype)(emb)
-        t_emb = nn.silu(t_emb)
-        t_emb = nn.Dense(self.dim, kernel_init=kaiming_out, dtype=self.dtype)(t_emb)
+        t_emb = TimeMLP(
+            self.dim, self.time_dim, num_classes=self.num_classes,
+            dtype=self.dtype,
+        )(t, y)
         t_tiled = jnp.broadcast_to(t_emb[:, None, :], (B, N, t_emb.shape[-1]))
         h = jnp.concatenate([x.astype(self.dtype), t_tiled], axis=-1)
 
