@@ -181,6 +181,24 @@ class PointDiffusionTask:
             num_steps=num_steps, schedule=self.schedule,
         )
 
+    def sample_sharded(
+        self, state, key, num_samples, mesh, num_points=None, num_steps=1000
+    ):
+        """Sampler fan-out over a mesh: num_samples shards across chips, the
+        whole 1000-step scan stays HBM-resident per chip, one gather at the
+        end (the BASELINE.json north-star scaling axis; reference is
+        single-device)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from shapegen_tpu.parallel.mesh import shard_sample_count
+
+        n = shard_sample_count(num_samples, mesh)
+        fn = jax.jit(
+            lambda k: self.sample(state, k, n, num_points, num_steps),
+            out_shardings=NamedSharding(mesh, P("data")),
+        )
+        return fn(key)[:num_samples]
+
     def sample_conditional(
         self,
         state,

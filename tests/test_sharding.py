@@ -102,6 +102,17 @@ def test_sharded_sampling(mesh):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_sample_sharded_api(mesh):
+    model = models.SimplePointUNet(dim=32, time_dim=32)
+    task = tasks.PointDiffusionTask(model, num_points=16)
+    state = task.init_state(jax.random.PRNGKey(0), jnp.zeros((2, 16, 3)))
+    out = task.sample_sharded(
+        state, jax.random.PRNGKey(4), 10, mesh, num_points=16, num_steps=2
+    )
+    assert out.shape == (10, 16, 3)  # trimmed back from the device multiple
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
