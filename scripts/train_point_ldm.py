@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=24)
     p.add_argument("--point-based-vae", action="store_true", default=False,
                    help="use the PointNet++/Folding VAE instead of VAE3DLarge")
+    p.add_argument("--vae-kind", default=None,
+                   choices=["vae3d_large", "vae3d", "pointnet", "simple_pointnet"],
+                   help="explicit VAE family (overrides --point-based-vae); "
+                        "vae3d_large is the reference default "
+                        "(train_point_ldm.py:21)")
     p.add_argument("--skip-vae-training", action="store_true", default=False)
     p.add_argument("--skip-diffusion-training", action="store_true", default=True)
     p.add_argument("--train-diffusion", dest="skip_diffusion_training",
@@ -66,8 +71,37 @@ def voxels_to_point_cloud_list(voxels, threshold, max_points):
     return [p[:c] for p, c in zip(pts, count)]
 
 
+def _vae_kind(args) -> str:
+    if args.vae_kind:
+        return args.vae_kind
+    return "pointnet" if args.point_based_vae else "vae3d_large"
+
+
+def build_vae_task(args):
+    kind = _vae_kind(args)
+    if kind == "vae3d_large":
+        return tasks.VAE3DLargeTask(
+            models.VAE3DLarge(latent_dim=args.latent_dim),
+            max_epochs=args.max_epochs,
+        )
+    if kind == "vae3d":
+        return tasks.VAE3DTask(models.VAE3D(latent_dim=args.latent_dim))
+    if kind == "pointnet":
+        return tasks.PointNetVAETask(
+            models.PointNetVAE(num_points=args.num_points,
+                               latent_dim=args.latent_dim),
+            max_epochs=args.max_epochs,
+        )
+    if kind == "simple_pointnet":
+        return tasks.SimplePointNetVAETask(
+            models.SimplePointNetVAE(num_points=args.num_points,
+                                     latent_dim=args.latent_dim),
+            max_epochs=args.max_epochs,
+        )
+    raise ValueError(kind)
+
+
 def train_vae(args, data_module, logger, timestamp, mesh):
-    is_voxel_based = not args.point_based_vae
     if args.vae_checkpoint and args.skip_vae_training:
         logger.info(f"Loading VAE model from checkpoint: {args.vae_checkpoint}")
         task, state, _ = load_task_checkpoint(
@@ -75,14 +109,7 @@ def train_vae(args, data_module, logger, timestamp, mesh):
         )
         return task, state
 
-    if is_voxel_based:
-        model = models.VAE3DLarge(latent_dim=args.latent_dim)
-        task = tasks.VAE3DLargeTask(model, max_epochs=args.max_epochs)
-    else:
-        model = models.PointNetVAE(
-            num_points=args.num_points, latent_dim=args.latent_dim
-        )
-        task = tasks.PointNetVAETask(model, max_epochs=args.max_epochs)
+    task = build_vae_task(args)
 
     cfg = TrainerConfig(
         max_epochs=args.max_epochs,
@@ -116,7 +143,7 @@ def train_diffusion(args, data_module, vae_task, vae_state, logger, timestamp, m
         vae_task.model,
         vae_variables,
         latent_dim=args.latent_dim,
-        is_voxel_based=not args.point_based_vae,
+        is_voxel_based=_vae_kind(args) in ("vae3d_large", "vae3d"),
         max_epochs=args.max_epochs,
     )
     cfg = TrainerConfig(
@@ -140,7 +167,7 @@ def main():
     log_file = os.path.join("train", "logs", f"train_point_ldm_log_{timestamp}.log")
     logger = setup_logger(log_file, "train_point_ldm")
 
-    is_voxel_based = not args.point_based_vae
+    is_voxel_based = _vae_kind(args) in ("vae3d_large", "vae3d")
     data_module = PointCloudDataDirectoryModule(
         args.data_dir,
         num_points=args.num_points,

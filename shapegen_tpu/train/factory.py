@@ -13,7 +13,7 @@ checkpoints do NOT contain the VAE; pass it in.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

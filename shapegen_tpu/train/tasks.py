@@ -22,7 +22,7 @@ shardings) and threads PRNG keys explicitly.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
