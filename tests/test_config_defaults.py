@@ -1,0 +1,59 @@
+"""SURVEY §7 parity checklist: the reference's hardcoded constants survive
+as our config defaults (seed 24, batch 16, wd 1e-5, thresholds, bounds...)."""
+
+from shapegen_tpu import config
+
+
+def test_data_defaults():
+    d = config.DataConfig()
+    assert d.num_points == 2048
+    assert d.batch_size == 16
+    assert d.num_workers == 4
+    assert d.train_val_split == 0.8
+    assert d.seed == 24
+    assert d.augmentations is False
+
+
+def test_diffusion_defaults():
+    c = config.DiffusionConfig()
+    assert c.dim == 256 and c.time_dim == 256
+    assert c.lr == 1e-4 and c.weight_decay == 1e-5
+    assert c.noise_schedule == "cosine"
+    assert c.linear_min_rate == 1e-4 and c.linear_max_rate == 0.02
+    assert c.cosine_min_signal_rate == 0.02
+    assert c.cosine_max_signal_rate == 0.95
+    assert c.num_sample_steps == 1000
+    assert c.plateau_factor == 0.5 and c.plateau_patience == 5
+
+
+def test_ldm_defaults():
+    c = config.LatentDiffusionConfig()
+    assert c.latent_dim == 256 and c.dim == 512 and c.time_dim == 256
+    assert c.is_voxel_based is True
+    assert c.sample_threshold == 0.4  # diffusion.py:576,620
+    assert c.cosine_eta_min == 1e-6
+
+
+def test_vae_defaults():
+    c = config.VAE3DLargeConfig()
+    assert c.input_shape == (32, 32, 32)
+    assert c.latent_dim == 256
+    assert c.kl_warmup_epochs == 10
+    assert c.kl_warmup_max_beta == 0.1
+    assert c.kl_annealing_epochs == 100
+    assert c.sample_threshold == 0.4
+
+
+def test_eval_defaults():
+    c = config.EvalConfig()
+    assert c.num_samples == 16
+    assert c.num_steps == 1000
+    assert c.initial_t == 0.010
+    assert c.vae_threshold == 0.5  # test_point_ldm.py:128
+    assert c.use_approximate_gpu_emd is False
+
+
+def test_train_defaults():
+    c = config.TrainRunConfig()
+    assert c.max_epochs == 500
+    assert c.save_top_k == 10
