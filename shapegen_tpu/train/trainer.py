@@ -174,7 +174,9 @@ class Trainer:
 
         state = replicate_state(state, self.mesh)
 
-        step = 0
+        # Continue the per-step RNG stream across resumes (fold_in by global
+        # step) instead of replaying the first run's noise sequence.
+        step = int(jax.device_get(state.step))
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             epoch_dev = jnp.asarray(epoch, jnp.int32)
