@@ -1,0 +1,28 @@
+"""AOT sampler export roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shapegen_tpu import models, serving
+from shapegen_tpu.train import tasks
+
+
+def test_export_load_roundtrip():
+    model = models.SimplePointUNet(dim=32, time_dim=32)
+    task = tasks.PointDiffusionTask(model, num_points=16)
+    state = task.init_state(jax.random.PRNGKey(0), jnp.zeros((2, 16, 3)))
+
+    blob = serving.export_sampler(task, state, num_samples=2, num_points=16,
+                                  num_steps=3)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+
+    fn = serving.load_sampler(blob)
+    kd = serving.key_data(7)
+    out = fn(kd)
+    assert out.shape == (2, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # Matches the live sampler up to compilation-order float noise.
+    live = task.sample(state, jax.random.PRNGKey(7), 2, 16, num_steps=3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live), rtol=1e-4)
