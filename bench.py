@@ -59,14 +59,23 @@ def _build():
 
 
 def measure(num_steps, repeats=2):
+    import numpy as np
+
     jax, make_sampler = _build()
     run = make_sampler(num_steps)
     key = jax.random.PRNGKey(24)
-    run(key).block_until_ready()  # compile
+
+    def sync(out):
+        # Force completion via a data fetch: on the axon tunnel,
+        # block_until_ready can return before remote execution finishes;
+        # fetching a scalar slice is a reliable barrier (costs <1 ms).
+        np.asarray(jax.device_get(out[0, 0]))
+
+    sync(run(key))  # compile
     best = float("inf")
     for i in range(repeats):
         t0 = time.perf_counter()
-        run(jax.random.fold_in(key, i)).block_until_ready()
+        sync(run(jax.random.fold_in(key, i)))
         best = min(best, time.perf_counter() - t0)
     return best
 
