@@ -18,17 +18,31 @@ from shapegen_tpu.data.dataset import save_dd  # noqa: E402
 SYNSETS = {"chair": "03001627", "airplane": "02691156", "table": "04379243"}
 
 
-def make_blob(rng: np.random.Generator, res: int = 32) -> np.ndarray:
-    """A random solid ellipsoid-ish occupancy grid."""
+def make_blob(rng: np.random.Generator, res: int = 32, kind: str = "ellipsoid") -> np.ndarray:
+    """A random solid occupancy grid; `kind` picks a class-distinct family
+    (ellipsoid / box / cross) so conditional-generation demos have an actual
+    class signal to learn."""
     center = rng.uniform(10, 22, 3)
     radii = rng.uniform(4, 10, 3)
     zz, yy, xx = np.meshgrid(*([np.arange(res)] * 3), indexing="ij")
-    d = (
-        ((zz - center[0]) / radii[0]) ** 2
-        + ((yy - center[1]) / radii[1]) ** 2
-        + ((xx - center[2]) / radii[2]) ** 2
-    )
-    return (d < 1.0).astype(np.float32)
+    dz = np.abs(zz - center[0]) / radii[0]
+    dy = np.abs(yy - center[1]) / radii[1]
+    dx = np.abs(xx - center[2]) / radii[2]
+    if kind == "box":
+        occ = np.maximum(np.maximum(dz, dy), dx) < 1.0
+    elif kind == "cross":
+        thin = 0.35
+        occ = (
+            ((dz < thin) & (dy < thin) & (dx < 1.0))
+            | ((dz < thin) & (dx < thin) & (dy < 1.0))
+            | ((dy < thin) & (dx < thin) & (dz < 1.0))
+        )
+    else:  # ellipsoid
+        occ = dz**2 + dy**2 + dx**2 < 1.0
+    return occ.astype(np.float32)
+
+
+SHAPE_KINDS = {"chair": "box", "airplane": "cross", "table": "ellipsoid"}
 
 
 def main():
@@ -43,7 +57,7 @@ def main():
     rng = np.random.default_rng(args.seed)
     for cat, synset in SYNSETS.items():
         for i in range(args.per_category):
-            grid = make_blob(rng, args.resolution)
+            grid = make_blob(rng, args.resolution, SHAPE_KINDS.get(cat, "ellipsoid"))
             name = f"shape_net_voxel_data_{synset}_{cat}_{i:04d}.dd"
             save_dd(os.path.join(args.out_dir, name), grid)
     print(f"wrote {args.per_category * len(SYNSETS)} files to {args.out_dir}")
