@@ -129,17 +129,29 @@ def main():
             trainer.add_figure(f"diffusion_generated_sample_2d_{i}", fig, epoch)
             plt.close(fig)
 
-    def on_epoch_end_reconstruction(trainer, state, epoch):
-        # Validation reconstruction round-trip figure: add t=0.01 noise to a
-        # val sample and denoise via sample3 (diffusion.py:114-136 parity).
+    def on_val_batch_reconstruction(
+        trainer, state, epoch, batch_idx, num_val_batches, batch
+    ):
+        # Validation reconstruction round-trip figures at the reference's
+        # cadence: every (num_val_batches // 5) validation batches, add
+        # t=0.01 noise to the middle sample of the batch and denoise via
+        # sample3 (diffusion.py:114-136). Tag names match the reference's
+        # add_figure calls.
         if args.viz_samples <= 0:
             return
-        batch = jnp.asarray(next(iter(data_module.val_dataloader())))
-        sample_idx = batch.shape[0] // 2
-        x = batch[sample_idx : sample_idx + 1]
+        interval = max(num_val_batches // 5, 1)
+        if batch_idx % interval != 0:
+            return
+        img_idx = batch_idx // interval
+        points = batch[0] if isinstance(batch, (tuple, list)) else batch
+        sample_idx = points.shape[0] // 2
+        x = points[sample_idx : sample_idx + 1]
         t = jnp.full((1,), 0.01)
         noisy, _, _, _ = task.add_noise(
-            jax.random.fold_in(jax.random.PRNGKey(args.seed), 999 + epoch), x, t
+            jax.random.fold_in(
+                jax.random.PRNGKey(args.seed), 999 + epoch * 100 + batch_idx
+            ),
+            x, t,
         )
         recon = task.sample3(state, noisy, t, num_steps=args.viz_steps)
         from shapegen_tpu.utils import plot_comparison_point_clouds
@@ -149,7 +161,13 @@ def main():
             "Point Cloud Comparison", "Input", "Reconstructed",
         )
         trainer.add_figure(
-            f"input_vs_reconstructed_point_cloud_3d_0_{sample_idx}", fig, epoch
+            f"input_vs_reconstructed_point_cloud_3d_{img_idx}_{sample_idx}",
+            fig, epoch,
+        )
+        plt.close(fig)
+        fig = plot_point_cloud_2d(jax.device_get(x[0]))
+        trainer.add_figure(
+            f"input_point_cloud_2d_{img_idx}_{sample_idx}", fig, epoch
         )
         plt.close(fig)
 
@@ -164,7 +182,8 @@ def main():
     )
     trainer = Trainer(
         task, cfg, mesh=mesh, logger=logger,
-        epoch_end_hooks=[on_epoch_end, on_epoch_end_reconstruction],
+        epoch_end_hooks=[on_epoch_end],
+        val_batch_hooks=[on_val_batch_reconstruction],
     )
 
     logger.info("Starting Diffusion Training")

@@ -216,9 +216,13 @@ class PointCloudDataset:
         path = os.path.join(self.data_dir, self.file_list[idx])
         rng = self._child_rng()
 
+        # Per-sample resolution stays LOCAL: _get_sample runs concurrently on
+        # prefetch-pool threads, so writing self.resolution here would let one
+        # file's resolution leak into another's re-voxelization.
+        res = self.resolution
         if self.input_mode == "voxels":
             voxels = load_dd(path).astype(np.float32)
-            self.resolution = voxels.shape[0]
+            res = voxels.shape[0]
             vmin, vmax = voxels.min(), voxels.max()
             if vmin == vmax:
                 voxels = np.full_like(voxels, vmin)
@@ -243,7 +247,6 @@ class PointCloudDataset:
             point_cloud = jitter_points_np(point_cloud, rng)
 
         if self.output_mode == "voxels":
-            res = self.resolution
             pts = (point_cloud + 1) * (res - 1) / 2
             pts = np.clip(pts, 0, res - 1).astype(int)
             grid = np.zeros((res, res, res), np.float32)

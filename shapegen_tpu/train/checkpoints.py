@@ -34,9 +34,33 @@ class TopKCheckpointer:
         self.prefix = filename_prefix
         self.save_top_k = save_top_k
         self.mode = mode
-        self._kept: List[Tuple[float, str]] = []  # (value, path)
         self._ckpt = ocp.StandardCheckpointer()
         os.makedirs(self.dirpath, exist_ok=True)
+        # Rehydrate the top-k ledger from sidecar metadata so a resumed run
+        # admits/evicts against pre-crash checkpoints — Lightning persists
+        # ModelCheckpoint state in the ckpt and restores it on
+        # trainer.fit(ckpt_path=...) (train_point_ldm.py:84,144); here the
+        # directory itself is the durable ledger.
+        self._kept: List[Tuple[float, str]] = self._scan_existing()
+
+    def _scan_existing(self) -> List[Tuple[float, str]]:
+        kept: List[Tuple[float, str]] = []
+        for name in os.listdir(self.dirpath):
+            if not name.endswith(".ckpt.json"):
+                continue
+            path = os.path.join(self.dirpath, name[: -len(".json")])
+            if not os.path.isdir(path):
+                continue  # stale sidecar
+            try:
+                with open(os.path.join(self.dirpath, name)) as f:
+                    meta = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if meta.get("monitor") != self.monitor or meta.get("value") is None:
+                continue
+            kept.append((float(meta["value"]), path))
+        kept.sort(key=lambda kv: kv[0], reverse=(self.mode != "min"))
+        return kept[: self.save_top_k]
 
     def _is_better(self, a: float, b: float) -> bool:
         return a < b if self.mode == "min" else a > b

@@ -190,14 +190,19 @@ class PointDiffusionTask:
         single-device)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from shapegen_tpu.parallel.mesh import shard_sample_count
+        from shapegen_tpu.parallel.mesh import replicate_state, shard_sample_count
 
+        # Pin the parameter placement inside the API: callers may hand us
+        # state living on a single device; the closed-over weights must be
+        # mesh-replicated or XLA materializes cross-chip transfers per step.
+        state = replicate_state(state, mesh)
         n = shard_sample_count(num_samples, mesh)
         fn = jax.jit(
             lambda k: self.sample(state, k, n, num_points, num_steps),
             out_shardings=NamedSharding(mesh, P("data")),
         )
-        return fn(key)[:num_samples]
+        out = fn(key)
+        return out if n == num_samples else out[:num_samples]
 
     def sample_conditional(
         self,

@@ -61,12 +61,18 @@ class Trainer:
         mesh=None,
         logger=None,
         epoch_end_hooks: Optional[List[Callable]] = None,
+        val_batch_hooks: Optional[List[Callable]] = None,
     ):
         self.task = task
         self.config = config
         self.mesh = mesh
         self.logger = logger
         self.epoch_end_hooks = epoch_end_hooks or []
+        # Called per validation batch as hook(trainer, state, epoch,
+        # batch_idx, num_val_batches, batch) — the Lightning validation_step
+        # side-channel the reference uses for its every-N-batches
+        # reconstruction figures (diffusion.py:114-136).
+        self.val_batch_hooks = val_batch_hooks or []
 
         self._train_step = jax.jit(task.train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(task.eval_step)
@@ -194,12 +200,15 @@ class Trainer:
             # ---- validate
             val_metrics = defaultdict(list)
             if (epoch + 1) % cfg.val_every_epochs == 0:
+                num_val_batches = len(val_loader)
                 for i, batch in enumerate(val_loader):
                     batch = self._device_batch(batch)
                     v_rng = jax.random.fold_in(rng, 10_000_000 + epoch * 10_000 + i)
                     metrics = self._eval_step(state, batch, v_rng, epoch_dev)
                     for k, v in metrics.items():
                         val_metrics[k].append(v)
+                    for hook in self.val_batch_hooks:
+                        hook(self, state, epoch, i, num_val_batches, batch)
 
             # ---- reduce + log (single host sync per epoch)
             epoch_metrics = {

@@ -116,6 +116,43 @@ def test_datamodule_split_and_loaders(data_dir):
     np.testing.assert_array_equal(dm.train_indices, dm2.train_indices)
 
 
+def test_mixed_resolution_thread_safety(tmp_path):
+    """Per-sample resolution is derived from the file itself, not from shared
+    dataset state — concurrent prefetch workers over mixed-resolution files
+    must each re-voxelize at their own file's resolution."""
+    rng = np.random.default_rng(0)
+    resolutions = {}
+    for i, res in enumerate([16, 32] * 4):
+        name = f"m_0_0_0_02691156_{i}.dd"  # airplane synset in token 5
+        grid = (rng.random((res, res, res)) > 0.8).astype(np.float32)
+        grid[res // 2, res // 2, res // 2] = 1.0  # never-empty guard
+        save_dd(str(tmp_path / name), grid)
+        resolutions[name] = res
+
+    # jitter=True forces the augment -> re-voxelize path (the racy one).
+    ds = PointCloudDataset(
+        str(tmp_path), output_mode="voxels", jitter=True, rotate=False,
+        relevant_object_categories=["all"],
+    )
+    expected = [resolutions[f] for f in ds.file_list]
+
+    # Sequential interleaving: a 32-file right after a 16-file (and vice
+    # versa) must not inherit the previous file's resolution.
+    for idx in [0, 1, 0, 1]:
+        res = expected[idx]
+        assert ds[idx].shape == (res, res, res, 1)
+
+    # Concurrent: hammer __getitem__ from many threads (what the prefetch
+    # pool does within a batch); every sample keeps its own file's resolution.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(8) as pool:
+        for _ in range(5):
+            results = list(pool.map(ds.__getitem__, range(len(ds))))
+            for r, res in zip(results, expected):
+                assert r.shape == (res, res, res, 1)
+
+
 def test_datamodule_voxel_mode(data_dir):
     dm = PointCloudDataDirectoryModule(
         data_dir,

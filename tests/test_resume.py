@@ -65,3 +65,74 @@ def test_last_ckpt_and_resume_continues_epochs(data_dir, tmp_path, caplog):
 
 def test_find_latest_prefers_last(tmp_path):
     assert find_latest_checkpoint(str(tmp_path / "missing")) is None
+
+
+def test_topk_ledger_survives_restart(tmp_path):
+    """A fresh TopKCheckpointer rehydrates its ledger from the directory, so
+    a resumed run keeps Lightning's persisted-ModelCheckpoint-state semantics
+    (train_point_ldm.py:84,144): no spurious saves, correct eviction."""
+    from shapegen_tpu.train.checkpoints import TopKCheckpointer
+
+    d = str(tmp_path / "ck")
+    state = {"w": np.ones((2,), np.float32)}
+
+    ck1 = TopKCheckpointer(d, "val_loss", "m", save_top_k=2)
+    assert ck1.maybe_save(state, 0, 0.50) is not None
+    assert ck1.maybe_save(state, 1, 0.30) is not None
+    assert ck1.maybe_save(state, 2, 0.40) is not None  # evicts 0.50
+
+    # "Crash": new process = new checkpointer over the same directory.
+    ck2 = TopKCheckpointer(d, "val_loss", "m", save_top_k=2)
+    assert sorted(v for v, _ in ck2._kept) == [0.30, 0.40]
+    assert ck2.best_path == ck1.best_path
+
+    # Pre-crash admission state is honored: a worse value is refused...
+    assert not ck2.would_save(0.45)
+    assert ck2.maybe_save(state, 3, 0.45) is None
+    # ...a better one is admitted and evicts the pre-crash 0.40.
+    assert ck2.would_save(0.35)
+    path = ck2.maybe_save(state, 4, 0.35)
+    assert path is not None
+    kept_files = sorted(f for f in os.listdir(d) if f.endswith(".ckpt"))
+    assert len(kept_files) == 2
+    assert not any("=0.40" in f for f in kept_files)
+
+    # Monitors don't cross-contaminate: a train_loss checkpointer over the
+    # same directory starts empty.
+    ck3 = TopKCheckpointer(d, "train_loss", "m", save_top_k=2)
+    assert ck3._kept == []
+
+
+def test_topk_restart_via_trainer(data_dir, tmp_path):
+    """Trainer restart (the crash-recovery path) doesn't re-save worse epochs:
+    the second run's checkpointers admit against the first run's files."""
+    dm = PointCloudDataDirectoryModule(
+        data_dir, num_points=32, batch_size=4, num_workers=1,
+        output_mode="point_clouds", augmentations=False,
+        relevant_object_categories=["all"],
+    )
+    model = models.SimplePointUNet(dim=32, time_dim=32)
+
+    def make_trainer(max_epochs):
+        task = tasks.PointDiffusionTask(model, num_points=32, lr=1e-3)
+        cfg = TrainerConfig(
+            max_epochs=max_epochs, ckpt_dir=str(tmp_path / "ck"),
+            ckpt_prefix="pcd", tb_dir=None, save_top_k=2,
+        )
+        return Trainer(task, cfg)
+
+    trainer = make_trainer(2)
+    trainer.fit(dm)
+    pre = {(v, os.path.basename(p)) for v, p in trainer.val_ckpt._kept}
+    assert len(pre) > 0
+
+    trainer2 = make_trainer(4)
+    post_init = {(v, os.path.basename(p)) for v, p in trainer2.val_ckpt._kept}
+    assert post_init == pre  # ledger restored, not empty
+    trainer2.fit(dm, resume_from=find_latest_checkpoint(str(tmp_path / "ck")))
+    # Never more than save_top_k files per monitor survive a restart.
+    val_files = [
+        f for f in os.listdir(str(tmp_path / "ck"))
+        if f.endswith(".ckpt") and "val_loss" in f
+    ]
+    assert len(val_files) <= 2

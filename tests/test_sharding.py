@@ -105,12 +105,24 @@ def test_sharded_sampling(mesh):
 def test_sample_sharded_api(mesh):
     model = models.SimplePointUNet(dim=32, time_dim=32)
     task = tasks.PointDiffusionTask(model, num_points=16)
+    # Deliberately UNREPLICATED state: sample_sharded must replicate it
+    # internally so single-device placement can't leak into the fan-out.
     state = task.init_state(jax.random.PRNGKey(0), jnp.zeros((2, 16, 3)))
     out = task.sample_sharded(
         state, jax.random.PRNGKey(4), 10, mesh, num_points=16, num_steps=2
     )
     assert out.shape == (10, 16, 3)  # trimmed back from the device multiple
     assert np.isfinite(np.asarray(out)).all()
+
+    # Device-multiple sample count: output comes back batch-sharded over the
+    # full mesh (one shard of 2 samples per device).
+    out16 = task.sample_sharded(
+        state, jax.random.PRNGKey(5), 16, mesh, num_points=16, num_steps=2
+    )
+    assert out16.shape == (16, 16, 3)
+    assert len(out16.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in out16.addressable_shards}
+    assert shard_shapes == {(2, 16, 3)}
 
 
 def test_dryrun_multichip_entry():

@@ -104,6 +104,37 @@ def test_point_diffusion_smoke_train(data_dir, tmp_path):
     assert meta["hparams"]["task"] == "point_diffusion"
 
 
+def test_val_batch_hooks_cadence(data_dir, tmp_path):
+    """val_batch_hooks fire once per validation batch with the batch index
+    and total count — the reference's validation_step figure side-channel
+    (diffusion.py:114-136)."""
+    dm = PointCloudDataDirectoryModule(
+        data_dir, num_points=32, batch_size=2, num_workers=1,
+        output_mode="point_clouds", augmentations=False,
+        relevant_object_categories=["all"],
+    )
+    model = models.SimplePointUNet(dim=32, time_dim=32)
+    task = tasks.PointDiffusionTask(model, num_points=32, lr=1e-3)
+    cfg = TrainerConfig(
+        max_epochs=1, ckpt_dir=str(tmp_path / "ck"), ckpt_prefix="m",
+        tb_dir=None, save_top_k=1,
+    )
+    calls = []
+
+    def hook(trainer, state, epoch, batch_idx, num_val_batches, batch):
+        pts = batch[0] if isinstance(batch, (tuple, list)) else batch
+        calls.append((epoch, batch_idx, num_val_batches, pts.shape))
+
+    trainer = Trainer(task, cfg, val_batch_hooks=[hook])
+    trainer.fit(dm)
+
+    dm.setup()
+    n_val = len(dm.val_dataloader())
+    assert len(calls) == n_val
+    assert [c[1] for c in calls] == list(range(n_val))
+    assert all(c[2] == n_val for c in calls)
+
+
 def test_vae3d_large_smoke_train(data_dir, tmp_path):
     dm = PointCloudDataDirectoryModule(
         data_dir, batch_size=4, num_workers=2, output_mode="voxels",
