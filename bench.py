@@ -11,11 +11,14 @@ Prints ONE JSON line:
    "value": <tpu samples/sec/chip>, "unit": "samples/sec/chip",
    "vs_baseline": <speedup vs the CPU reference-equivalent path>}
 
-vs_baseline is measured against the same sampler executed on CPU (the
-reference-equivalent path — the reference publishes no numbers and runs
-single-device, BASELINE.md). The CPU number is measured once with a short
-scan and extrapolated linearly in steps (the scan body dominates), then
-cached in cpu_baseline.json. Target from BASELINE.json: >=10x.
+vs_baseline divides the TPU number by the *reference implementation's* CPU
+throughput: a plain-torch UNetPointNetLarge driven by the reference's
+Python DDIM loop (benchmarks/torch_reference.py; reference
+diffusion.py:261-289 + networks.py:724-838), measured on this host. This
+framework's own sampler on CPU is also measured and recorded as a secondary
+figure. Both are measured once over a few steps, extrapolated linearly in
+steps (the loop/scan body dominates and is step-invariant), and cached with
+provenance in cpu_baseline.json. Target from BASELINE.json: >=10x.
 """
 
 import json
@@ -80,37 +83,57 @@ def measure(num_steps, repeats=2):
     return best
 
 
-def cpu_baseline_sps():
-    """samples/sec for the CPU reference-equivalent path (cached)."""
-    if os.path.exists(CACHE):
-        with open(CACHE) as f:
-            return json.load(f)["cpu_samples_per_sec"]
+def _run_json(cmd, env=None):
+    out = subprocess.run(
+        cmd, env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _measure_torch_reference():
+    """The reference path: plain-torch model + Python DDIM loop."""
+    return _run_json(
+        [sys.executable, os.path.join("benchmarks", "torch_reference.py")]
+    )
+
+
+def _measure_framework_cpu():
+    """This framework's own lax.scan sampler on the CPU backend (secondary
+    figure — shows the JAX-vs-torch CPU gap separately from the TPU gain)."""
     # PALLAS_AXON_POOL_IPS must be cleared: the image's sitecustomize
     # otherwise forces the axon TPU platform over JAX_PLATFORMS.
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     code = (
         "import bench, json; t = bench.measure(bench.CPU_STEPS, repeats=1); "
         "full = t * bench.NUM_STEPS / bench.CPU_STEPS; "
-        "print(json.dumps({'cpu_samples_per_sec': bench.NUM_SAMPLES / full}))"
+        "print(json.dumps({'framework_cpu_samples_per_sec':"
+        " bench.NUM_SAMPLES / full,"
+        " 'framework_cpu_measured_steps': bench.CPU_STEPS}))"
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        env=env, capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    data = json.loads(line)
+    return _run_json([sys.executable, "-c", code], env=env)
+
+
+def cpu_baseline():
+    """Cached CPU baselines; (re)measures if the cache is missing or from
+    the pre-torch-baseline era."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            data = json.load(f)
+        if "torch_cpu_samples_per_sec" in data:
+            return data
+    data = _measure_torch_reference()
+    data.update(_measure_framework_cpu())
     with open(CACHE, "w") as f:
-        json.dump(data, f)
-    return data["cpu_samples_per_sec"]
+        json.dump(data, f, indent=1)
+    return data
 
 
 def main():
     t = measure(NUM_STEPS)
     tpu_sps = NUM_SAMPLES / t
     try:
-        cpu_sps = cpu_baseline_sps()
-        vs = tpu_sps / cpu_sps
+        vs = tpu_sps / cpu_baseline()["torch_cpu_samples_per_sec"]
     except Exception:
         vs = None
     print(
