@@ -25,7 +25,7 @@ matrix.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,22 @@ from shapegen_tpu.ops.geometry import (
 
 def _as_batched(x: jnp.ndarray) -> jnp.ndarray:
     return x[None] if x.ndim == 2 else x
+
+
+_PALLAS_OVERRIDE: Optional[bool] = None  # test hook: force on/off
+
+
+def pallas_available() -> bool:
+    """True when the streaming Pallas chamfer kernel should drive the eval
+    path (TPU backend). The XLA formulation stays the fallback everywhere
+    else, and the only path used under differentiation (the kernel defines
+    no VJP — training losses pass use_pallas=False explicitly)."""
+    if _PALLAS_OVERRIDE is not None:
+        return _PALLAS_OVERRIDE
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def _nn_exact_dists(
@@ -62,15 +78,26 @@ def _nn_exact_dists(
 
 
 def chamfer_distance(
-    x: jnp.ndarray, y: jnp.ndarray, scaling_factor: float = 1e3
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    scaling_factor: float = 1e3,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Chamfer distance with the reference's x1e3 scaling (metrics.py:23-47).
 
     Handles N != M (the reference's unit test deliberately uses unequal point
-    counts, units.py:7-10). For large batched eval on TPU, prefer
-    ops.pallas_kernels.chamfer_distance_pallas — same semantics, streaming
-    VMEM kernel that never materializes the (N, M) matrix in HBM.
+    counts, units.py:7-10). On TPU this routes through the streaming Pallas
+    kernel (ops.pallas_kernels) — same semantics, never materializes the
+    (N, M) matrix in HBM. Call sites that differentiate through the CD
+    (VAE reconstruction losses) must pass ``use_pallas=False``: the kernel
+    defines no VJP.
     """
+    if use_pallas is None:
+        use_pallas = pallas_available()
+    if use_pallas:
+        from shapegen_tpu.ops.pallas_kernels import chamfer_distance_pallas
+
+        return chamfer_distance_pallas(x, y, scaling_factor)
     x = _as_batched(x)
     y = _as_batched(y)
     x = normalize_to_cube(x)
@@ -136,20 +163,48 @@ def _per_pair_chamfer(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def pairwise_chamfer_matrix(
-    gen: jnp.ndarray, ref: jnp.ndarray, block: int = 8
+    gen: jnp.ndarray,
+    ref: jnp.ndarray,
+    block: int = 8,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """All-pairs CD matrix between two cloud sets, (G, R).
 
     Drives the coverage/MMD/1-NNA extensions. Blocked over the gen axis to
-    bound the (G, R, N, M) distance intermediate.
+    bound the distance intermediate; on TPU the inner min-distance pass is
+    the streaming Pallas kernel (O(N+M) HBM per pair instead of O(N*M)).
     """
+    if use_pallas is None:
+        use_pallas = pallas_available()
     gen = normalize_to_cube(gen)
     ref = normalize_to_cube(ref)
-    G = gen.shape[0]
+    G, R = gen.shape[0], ref.shape[0]
+
+    if use_pallas:
+        from shapegen_tpu.ops.pallas_kernels import min_dists_pallas
+
+        n_blocks = -(-G // block)
+        pad = n_blocks * block - G
+        gen_p = jnp.concatenate([gen, jnp.zeros((pad,) + gen.shape[1:])]) if pad else gen
+        gen_blocks = gen_p.reshape(n_blocks, block, *gen.shape[1:])
+
+        def body(_, gblk):
+            x_all = jnp.broadcast_to(
+                gblk[:, None], (block, R) + gblk.shape[1:]
+            ).reshape(block * R, *gblk.shape[1:])
+            y_all = jnp.broadcast_to(
+                ref[None], (block,) + ref.shape
+            ).reshape(block * R, *ref.shape[1:])
+            d_xy, d_yx = min_dists_pallas(x_all, y_all)
+            cd = jnp.mean(jnp.sqrt(d_xy), axis=1) + jnp.mean(jnp.sqrt(d_yx), axis=1)
+            return None, cd.reshape(block, R)
+
+        _, rows = jax.lax.scan(body, None, gen_blocks)
+        return rows.reshape(n_blocks * block, R)[:G]
 
     def one_gen(g):
         # g: (N, 3) vs all refs (R, M, 3)
-        return _per_pair_chamfer(jnp.broadcast_to(g[None], (ref.shape[0],) + g.shape), ref)
+        return _per_pair_chamfer(jnp.broadcast_to(g[None], (R,) + g.shape), ref)
 
     return jax.lax.map(one_gen, gen, batch_size=block)
 

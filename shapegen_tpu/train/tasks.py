@@ -66,6 +66,7 @@ class PointDiffusionTask:
         noise_schedule: str = "cosine",
         num_classes: Optional[int] = None,
         cond_drop_prob: float = 0.1,
+        lr_schedule: str = "plateau",
     ):
         self.model = model
         self.num_points = num_points
@@ -73,6 +74,7 @@ class PointDiffusionTask:
         self.schedule = get_schedule(noise_schedule)
         self.num_classes = num_classes
         self.cond_drop_prob = cond_drop_prob
+        self.lr_schedule = lr_schedule
         self.hparams = {
             "task": "point_diffusion",
             "num_points": num_points,
@@ -101,6 +103,10 @@ class PointDiffusionTask:
 
     def make_scheduler(self):
         # AdamW + ReduceLROnPlateau(0.5, 5) on val_loss (diffusion.py:56-68).
+        # lr_schedule='none' (extension) keeps a constant lr — useful on
+        # tiny/noisy datasets where plateau halvings collapse the lr.
+        if self.lr_schedule == "none":
+            return None
         return ReduceLROnPlateau(self.lr, factor=0.5, patience=5)
 
     def _loss(self, params, batch_stats, batch, rng, train: bool):
@@ -569,7 +575,8 @@ class SimplePointNetVAETask:
                 variables, batch, re_key, train=False
             )
             new_stats = batch_stats
-        chamfer = chamfer_distance(recon, batch)
+        # use_pallas=False: this CD is differentiated (the kernel has no VJP).
+        chamfer = chamfer_distance(recon, batch, use_pallas=False)
         voxel = voxel_bce_recon_loss(recon, batch)
         recon_loss = self.chamfer_lambda * chamfer + self.voxel_lambda * voxel
         kl = kl_divergence_sum(mu, logvar)
@@ -655,7 +662,8 @@ class PointNetVAETask:
         else:
             recon, mu, logvar = self.model.apply(variables, batch, re_key, train=False)
             new_stats = batch_stats
-        recon_loss = chamfer_distance(recon, batch)
+        # use_pallas=False: this CD is differentiated (the kernel has no VJP).
+        recon_loss = chamfer_distance(recon, batch, use_pallas=False)
         kl = kl_divergence_sum(mu, logvar)
         return recon_loss + self.beta * kl, (recon_loss, kl, new_stats)
 

@@ -47,3 +47,57 @@ def test_padding_sentinels_do_not_leak(rng):
     )
     np.testing.assert_allclose(np.asarray(d_xy), full.min(2), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(d_yx), full.min(1), rtol=1e-5, atol=1e-6)
+
+
+def _force_pallas(monkeypatch):
+    """Route the metrics eval path through the kernel in interpret mode
+    (the CPU harness has no Mosaic TPU compiler)."""
+    import functools
+
+    from shapegen_tpu.metrics import metrics as M
+    from shapegen_tpu.ops import pallas_kernels as PK
+
+    monkeypatch.setattr(M, "_PALLAS_OVERRIDE", True)
+    monkeypatch.setattr(
+        PK, "min_dists_pallas", functools.partial(min_dists_pallas, interpret=True)
+    )
+    monkeypatch.setattr(
+        PK,
+        "chamfer_distance_pallas",
+        functools.partial(chamfer_distance_pallas, interpret=True),
+    )
+
+
+def test_chamfer_distance_pallas_dispatch(rng, monkeypatch):
+    """metrics.chamfer_distance auto-routes through the kernel on TPU; the
+    dispatched value must match the XLA formulation."""
+    x = jnp.asarray(rng.standard_normal((2, 130, 3)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, 90, 3)).astype(np.float32))
+    want = float(metrics.chamfer_distance(x, y, use_pallas=False))
+    _force_pallas(monkeypatch)
+    got = float(metrics.chamfer_distance(x, y))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pairwise_chamfer_matrix_pallas_dispatch(rng, monkeypatch):
+    """The blocked Pallas pairwise matrix (incl. gen-axis padding: G=5 is
+    not a multiple of block=2) must match the XLA lax.map path."""
+    gen = jnp.asarray(rng.standard_normal((5, 40, 3)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((3, 56, 3)).astype(np.float32))
+    want = np.asarray(
+        metrics.pairwise_chamfer_matrix(gen, ref, block=2, use_pallas=False)
+    )
+    _force_pallas(monkeypatch)
+    got = np.asarray(metrics.pairwise_chamfer_matrix(gen, ref, block=2))
+    assert got.shape == (5, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_coverage_mmd_pallas_dispatch(rng, monkeypatch):
+    gen = jnp.asarray(rng.standard_normal((4, 40, 3)).astype(np.float32))
+    ref = jnp.asarray(rng.standard_normal((4, 40, 3)).astype(np.float32))
+    cov_x, mmd_x = metrics.coverage_and_mmd(gen, ref, block=2)
+    _force_pallas(monkeypatch)
+    cov_p, mmd_p = metrics.coverage_and_mmd(gen, ref, block=2)
+    np.testing.assert_allclose(float(cov_p), float(cov_x), atol=1e-6)
+    np.testing.assert_allclose(float(mmd_p), float(mmd_x), rtol=1e-4)
