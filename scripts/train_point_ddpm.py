@@ -22,7 +22,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 from shapegen_tpu import models  # noqa: E402
 from shapegen_tpu.data import PointCloudDataDirectoryModule  # noqa: E402
-from shapegen_tpu.parallel import make_mesh  # noqa: E402
+from shapegen_tpu.parallel import initialize_distributed, make_mesh  # noqa: E402
 from shapegen_tpu.train import Trainer, TrainerConfig, tasks  # noqa: E402
 from shapegen_tpu.utils import (  # noqa: E402
     plot_point_cloud_2d,
@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--max-epochs", type=int, default=500)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--noise-schedule", default="cosine", choices=["cosine", "linear"])
+    p.add_argument("--lr-schedule", default="plateau",
+                   choices=["plateau", "none"],
+                   help="plateau = reference ReduceLROnPlateau(0.5, 5); "
+                        "none = constant lr (extension)")
     p.add_argument("--dim", type=int, default=256)
     p.add_argument("--time-dim", type=int, default=256)
     p.add_argument("--seed", type=int, default=24)
@@ -58,11 +62,20 @@ def parse_args():
     p.add_argument("--final-samples", type=int, default=10)
     p.add_argument("--ckpt-root", default="checkpoints")
     p.add_argument("--tb-dir", default="lightning_logs")
+    p.add_argument("--save-top-k", type=int, default=10,
+                   help="top-k checkpoints per monitor (reference: 10)")
+    p.add_argument("--save-last-every", type=int, default=1,
+                   help="rolling last.ckpt cadence in epochs; raise on "
+                        "slow-transfer links (the full-state fetch costs "
+                        "~10s/ckpt for the 21.5M model over the axon tunnel)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    # Multi-host (pod) runs: no-op unless the JAX_COORDINATOR_ADDRESS
+    # family of env vars is set (single-host reference-parity default).
+    initialize_distributed()
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     os.makedirs(os.path.join("train", "logs"), exist_ok=True)
     log_file = os.path.join("train", "logs", f"train_point_ddpm_log_{timestamp}.log")
@@ -109,6 +122,7 @@ def main():
         task = tasks.PointDiffusionTask(
             model, num_points=args.num_points, lr=args.lr,
             noise_schedule=args.noise_schedule, num_classes=num_classes,
+            lr_schedule=args.lr_schedule,
         )
 
     mesh = make_mesh(args.num_devices) if (args.num_devices or 1) > 1 else None
@@ -175,7 +189,8 @@ def main():
         max_epochs=args.max_epochs,
         ckpt_dir=os.path.join(args.ckpt_root, "point_ddpm", timestamp),
         ckpt_prefix="point_cloud_diffusion",
-        save_top_k=10,
+        save_top_k=args.save_top_k,
+        save_last_every=args.save_last_every,
         tb_dir=args.tb_dir,
         tb_name="point_cloud_diffusion",
         seed=args.seed,

@@ -388,6 +388,19 @@ class PointCloudDataDirectoryModule:
         self.train_indices = perm[:train_size]
         self.val_indices = perm[train_size:]
 
+        # Multi-host (DCN): the split above is seeded identically on every
+        # process; each host then takes a disjoint round-robin shard of it,
+        # equalized in length so all hosts run the same number of batches
+        # (SPMD lockstep). Global batches are assembled from the per-host
+        # locals by parallel.shard_batch / global_batch_from_local.
+        import jax
+
+        if jax.process_count() > 1:
+            from shapegen_tpu.parallel.distributed import shard_for_host
+
+            self.train_indices = shard_for_host(self.train_indices, equalize=True)
+            self.val_indices = shard_for_host(self.val_indices, equalize=True)
+
     def train_dataloader(self) -> _PrefetchLoader:
         assert self.dataset is not None, "call setup() first"
         return _PrefetchLoader(

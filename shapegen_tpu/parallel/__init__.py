@@ -3,10 +3,12 @@ from shapegen_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    global_batch_from_local,
     replicate_state,
     shard_sample_count,
 )
 from shapegen_tpu.parallel.distributed import (  # noqa: F401
     initialize_distributed,
+    shard_for_host,
     shard_files_for_host,
 )

@@ -14,6 +14,7 @@ import os
 from typing import Optional, Sequence
 
 import jax
+import numpy as np
 
 
 def initialize_distributed(
@@ -39,18 +40,37 @@ def initialize_distributed(
     )
 
 
+def shard_for_host(
+    items: Sequence,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+    equalize: bool = False,
+):
+    """Deterministic per-host shard of a sequence (round-robin).
+
+    Each host's input pipeline reads only its shard; per-host batches
+    combine into the global batch via
+    ``jax.make_array_from_process_local_data``
+    (parallel.mesh.global_batch_from_local). With ``equalize=True`` every
+    shard is truncated to the common minimum length so all hosts run the
+    same number of steps (SPMD programs deadlock if one host runs an extra
+    batch). Used by PointCloudDataDirectoryModule.setup() on the split
+    indices.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    shard = [f for i, f in enumerate(items) if i % pc == pi]
+    if equalize:
+        shard = shard[: len(items) // pc]
+    if isinstance(items, np.ndarray):
+        return np.asarray(shard, dtype=items.dtype)
+    return shard
+
+
 def shard_files_for_host(
     files: Sequence[str],
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
 ) -> list:
-    """Deterministic per-host shard of a file list (round-robin).
-
-    Each host's input pipeline reads only its shard; batches assembled per
-    host then combine into the global batch via the data-sharded `jit`
-    (host-local data placement is what `jax.make_array_from_process_local_data`
-    consumes on pods).
-    """
-    pi = jax.process_index() if process_index is None else process_index
-    pc = jax.process_count() if process_count is None else process_count
-    return [f for i, f in enumerate(files) if i % pc == pi]
+    """Per-host round-robin shard of a file list (see shard_for_host)."""
+    return list(shard_for_host(files, process_index, process_count))

@@ -47,10 +47,34 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_batch_from_local(batch: Any, mesh: Mesh) -> Any:
+    """Assemble per-host local batches into one global data-sharded array.
+
+    The multi-host (DCN) input path: every process feeds its local shard and
+    ``jax.make_array_from_process_local_data`` stitches the global batch
+    whose addressable shards live on the local chips. Works identically in
+    the single-process case (local == global), so tests exercise the same
+    code path the pod runs.
+    """
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
+
+
 def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
-    """Place a host batch on device(s), batch-dim sharded when mesh given."""
+    """Place a host batch on device(s), batch-dim sharded when mesh given.
+
+    Multi-process (pod) runs route through ``global_batch_from_local``:
+    each host contributes its local batch to the global array.
+    """
     if mesh is None:
         return jax.device_put(batch)
+    if jax.process_count() > 1:
+        return global_batch_from_local(batch, mesh)
     return jax.device_put(batch, batch_sharding(mesh))
 
 

@@ -164,3 +164,33 @@ def test_datamodule_voxel_mode(data_dir):
     dm.setup()
     batch = next(iter(dm.train_dataloader()))
     assert batch.shape == (4, 32, 32, 32, 1)
+
+
+def test_datamodule_multihost_index_sharding(data_dir, monkeypatch):
+    """On a pod, every process computes the same seeded 80/20 split, then
+    takes a disjoint equal-length round-robin shard of it (SPMD lockstep)."""
+    import jax
+
+    def build(pc, pi):
+        monkeypatch.setattr(jax, "process_count", lambda: pc)
+        monkeypatch.setattr(jax, "process_index", lambda: pi)
+        m = PointCloudDataDirectoryModule(
+            data_dir, num_points=64, batch_size=2,
+            output_mode="point_clouds", augmentations=False,
+        )
+        m.setup()
+        return m
+
+    full = build(1, 0)
+    h0 = build(2, 0)
+    h1 = build(2, 1)
+
+    tr0, tr1 = set(h0.train_indices.tolist()), set(h1.train_indices.tolist())
+    va0, va1 = set(h0.val_indices.tolist()), set(h1.val_indices.tolist())
+    assert tr0.isdisjoint(tr1) and va0.isdisjoint(va1)
+    # Equalized: both hosts run the same number of samples/batches.
+    assert len(h0.train_indices) == len(h1.train_indices)
+    assert len(h0.val_indices) == len(h1.val_indices)
+    # Shards come from the same global split every host computes.
+    assert (tr0 | tr1) <= set(full.train_indices.tolist())
+    assert (va0 | va1) <= set(full.val_indices.tolist())

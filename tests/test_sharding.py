@@ -129,3 +129,44 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_shard_for_host_round_robin_and_equalize():
+    from shapegen_tpu.parallel import shard_files_for_host, shard_for_host
+
+    items = list(range(10))
+    assert shard_for_host(items, 0, 4) == [0, 4, 8]
+    assert shard_for_host(items, 1, 4) == [1, 5, 9]
+    assert shard_files_for_host(items, 3, 4) == [3, 7]
+
+    # equalize: every host gets floor(10/4)=2 items, disjoint.
+    shards = [shard_for_host(items, i, 4, equalize=True) for i in range(4)]
+    assert all(len(s) == 2 for s in shards)
+    flat = sum(shards, [])
+    assert len(set(flat)) == len(flat) == 8
+
+    # numpy input stays numpy with dtype preserved (index arrays).
+    arr = np.arange(7, dtype=np.int64)
+    out = shard_for_host(arr, 2, 3)
+    assert isinstance(out, np.ndarray) and out.dtype == np.int64
+    np.testing.assert_array_equal(out, [2, 5])
+
+
+def test_global_batch_from_local(mesh):
+    """The multi-host batch-assembly path; in a single process local ==
+    global, so the same code the pod runs is checked for value+sharding."""
+    from shapegen_tpu.parallel import global_batch_from_local
+
+    batch = np.arange(16 * 4 * 3, dtype=np.float32).reshape(16, 4, 3)
+    out = global_batch_from_local(batch, mesh)
+    assert out.shape == (16, 4, 3)
+    assert len(out.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(2, 4, 3)}
+    np.testing.assert_array_equal(np.asarray(out), batch)
+
+    # Tuple batches (points, labels) assemble leaf-wise.
+    labels = np.arange(16, dtype=np.int32)
+    pts, lab = global_batch_from_local((batch, labels), mesh)
+    np.testing.assert_array_equal(np.asarray(lab), labels)
+    assert len(lab.sharding.device_set) == 8
