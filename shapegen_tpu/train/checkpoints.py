@@ -68,6 +68,8 @@ class TopKCheckpointer:
     def would_save(self, value: float) -> bool:
         """Admission check without touching the state (lets the trainer skip
         the device->host state fetch when nothing would be written)."""
+        if self.save_top_k <= 0:
+            return False  # monitor disabled (Lightning save_top_k=0 parity)
         if len(self._kept) < self.save_top_k:
             return True
         worst = max(self._kept)[0] if self.mode == "min" else min(self._kept)[0]
@@ -82,10 +84,8 @@ class TopKCheckpointer:
         extra: Optional[Dict] = None,
     ) -> Optional[str]:
         """Save if `value` ranks in the top k for this monitor. Returns path."""
-        if len(self._kept) >= self.save_top_k:
-            worst = max(self._kept)[0] if self.mode == "min" else min(self._kept)[0]
-            if not self._is_better(value, worst):
-                return None
+        if not self.would_save(value):
+            return None
 
         name = f"{self.prefix}-epoch={epoch:02d}-{self.monitor}={value:.2f}.ckpt"
         path = os.path.join(self.dirpath, name)
