@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Quantify category-conditional generation (extension over the reference,
+which trains one unconditional model per category).
+
+Loads a conditional point-DDPM checkpoint, samples N clouds per category
+with classifier-free guidance, and reports:
+
+  * a cross-class CD confusion matrix: mean Chamfer distance between the
+    class-i generated set and the class-j reference set (diagonal should be
+    the row minimum when the model has learned the class conditioning);
+  * per-class MMD-CD (mean over class references of the min CD to any
+    same-class generated cloud) for every (gen-class, ref-class) pair;
+  * per-class COV-CD against the own-class reference set.
+
+All pairwise Chamfer matrices run through metrics.pairwise_chamfer_matrix —
+on TPU that is the streaming Pallas kernel path.
+
+Prints a markdown table and optionally writes a JSON evidence file.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from shapegen_tpu.data.dataset import PointCloudDataset  # noqa: E402
+from shapegen_tpu.metrics import metrics  # noqa: E402
+from shapegen_tpu.train.factory import load_task_checkpoint  # noqa: E402
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--categories", nargs="+",
+                   default=["chair", "airplane", "table"])
+    p.add_argument("--num-per-class", type=int, default=8)
+    p.add_argument("--num-steps", type=int, default=1000)
+    p.add_argument("--guidance", type=float, default=2.0)
+    p.add_argument("--max-refs", type=int, default=64,
+                   help="cap on reference clouds per class")
+    p.add_argument("--seed", type=int, default=24)
+    p.add_argument("--out", default=None, help="write JSON evidence here")
+    return p.parse_args()
+
+
+def reference_set(data_dir, category, num_points, max_refs):
+    ds = PointCloudDataset(
+        data_dir,
+        num_points=num_points,
+        input_mode="voxels",
+        output_mode="point_clouds",
+        normalize=True,
+        jitter=False,
+        rotate=False,
+        relevant_object_categories=[category],
+        seed=24,
+    )
+    n = min(len(ds), max_refs)
+    clouds = np.stack([ds[i] for i in range(n)])
+    return clouds, ds.label_for(0)
+
+
+def main():
+    args = parse_args()
+    task, state, meta = load_task_checkpoint(args.checkpoint)
+    assert task.num_classes is not None, (
+        "checkpoint is unconditional; train with --conditional"
+    )
+    num_points = task.num_points
+
+    refs, labels = {}, {}
+    for cat in args.categories:
+        refs[cat], labels[cat] = reference_set(
+            args.data_dir, cat, num_points, args.max_refs
+        )
+        print(f"[refs] {cat}: {refs[cat].shape[0]} clouds, label {labels[cat]}")
+
+    # --- data separability baseline: are the classes CD-separable at all?
+    # Leave-one-out per-class MMD between reference sets; if the diagonal
+    # isn't the row-min here, no generator can show separation under CD.
+    cats0 = args.categories
+    ref_sep = np.zeros((len(cats0), len(cats0)))
+    for i, ci in enumerate(cats0):
+        for j, cj in enumerate(cats0):
+            d = np.asarray(jax.device_get(
+                metrics.pairwise_chamfer_matrix(refs[ci], refs[cj])
+            ))
+            if i == j:
+                d = d + np.diag(np.full(d.shape[0], np.inf))  # exclude self
+            ref_sep[i, j] = float(np.min(d, axis=1).mean())
+    print("\nReference-vs-reference separability "
+          "(mean over class-i refs of min CD to class-j refs; diag=LOO):")
+    for i, ci in enumerate(cats0):
+        row = " ".join(f"{ref_sep[i, j]:.4f}" for j in range(len(cats0)))
+        print(f"  {ci}: {row}  (diag is row-min: {ref_sep[i, i] == ref_sep[i].min()})")
+
+    # --- label probe: does the model's eps-prediction use the label?
+    # Fixed noise/t on real clouds: loss with TRUE labels should beat loss
+    # with mismatched labels if conditioning is learned.
+    import jax.numpy as jnp
+
+    from shapegen_tpu.core import diffusion as diff
+
+    probe_key = jax.random.PRNGKey(args.seed + 1)
+    probe_losses = {}
+    for name, lab_of in [
+        ("true", lambda c: labels[c]),
+        ("wrong", lambda c: labels[cats0[(cats0.index(c) + 1) % len(cats0)]]),
+    ]:
+        tot = []
+        for c in cats0:
+            pts = jnp.asarray(refs[c][:8])
+            t = jnp.full((pts.shape[0],), 0.4)
+            x_t, noise, _, _ = diff.add_noise(probe_key, pts, t, task.schedule)
+            y = jnp.full((pts.shape[0],), lab_of(c), jnp.int32)
+            pred = task.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x_t, t, y=y, train=False,
+            )
+            tot.append(float(jnp.mean(jnp.abs(noise - pred))))
+        probe_losses[name] = float(np.mean(tot))
+    print(f"\nlabel probe (t=0.4 eps-loss): true={probe_losses['true']:.4f} "
+          f"wrong={probe_losses['wrong']:.4f} "
+          f"(conditioning used: {probe_losses['wrong'] > probe_losses['true']})")
+
+    key = jax.random.PRNGKey(args.seed)
+    gens = {}
+    for i, cat in enumerate(args.categories):
+        lab = np.full((args.num_per_class,), labels[cat], np.int32)
+        out = task.sample_conditional(
+            state, jax.random.fold_in(key, i), lab,
+            num_steps=args.num_steps, guidance_scale=args.guidance,
+        )
+        gens[cat] = np.asarray(jax.device_get(out))
+        print(f"[gen ] {cat}: {gens[cat].shape}")
+
+    cats = args.categories
+    mean_cd = np.zeros((len(cats), len(cats)))
+    mmd_cd = np.zeros((len(cats), len(cats)))
+    cov_own = {}
+    for i, gc in enumerate(cats):
+        for j, rc in enumerate(cats):
+            d = np.asarray(
+                jax.device_get(
+                    metrics.pairwise_chamfer_matrix(gens[gc], refs[rc])
+                )
+            )
+            mean_cd[i, j] = float(d.mean())
+            mmd_cd[i, j] = float(d.min(axis=0).mean())
+            if i == j:
+                covered = np.zeros(d.shape[1], bool)
+                covered[np.argmin(d, axis=1)] = True
+                cov_own[gc] = float(covered.mean())
+
+    def table(m, title):
+        lines = [f"\n{title} (rows: generated class, cols: reference class)",
+                 "| gen \\ ref | " + " | ".join(cats) + " |",
+                 "|---|" + "---|" * len(cats)]
+        for i, gc in enumerate(cats):
+            cells = []
+            for j in range(len(cats)):
+                mark = "**" if m[i, j] == m[i].min() else ""
+                cells.append(f"{mark}{m[i, j]:.4f}{mark}")
+            lines.append(f"| {gc} | " + " | ".join(cells) + " |")
+        return "\n".join(lines)
+
+    print(table(mean_cd, "Mean pairwise CD (cube-normalized, unscaled)"))
+    print(table(mmd_cd, "MMD-CD (mean over refs of min CD to a gen)"))
+    print("\nCOV-CD own-class:",
+          {c: round(v, 3) for c, v in cov_own.items()})
+    sep = [bool(mean_cd[i, i] == mean_cd[i].min()) for i in range(len(cats))]
+    print("classes where own-class mean CD is row-min:",
+          sum(sep), "/", len(cats))
+    sep_mmd = [bool(mmd_cd[i, i] == mmd_cd[i].min()) for i in range(len(cats))]
+    print("classes where own-class MMD-CD is row-min:",
+          sum(sep_mmd), "/", len(cats))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "checkpoint": args.checkpoint,
+                    "categories": cats,
+                    "num_per_class": args.num_per_class,
+                    "num_steps": args.num_steps,
+                    "guidance": args.guidance,
+                    "mean_cd": mean_cd.tolist(),
+                    "mmd_cd": mmd_cd.tolist(),
+                    "cov_own": cov_own,
+                    "own_class_separates_mean": sep,
+                    "own_class_separates_mmd": sep_mmd,
+                    "ref_separability": ref_sep.tolist(),
+                    "label_probe": probe_losses,
+                },
+                f, indent=1,
+            )
+        print(f"\nwrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

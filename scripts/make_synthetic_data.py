@@ -31,18 +31,25 @@ def make_blob(rng: np.random.Generator, res: int = 32, kind: str = "ellipsoid") 
     if kind == "box":
         occ = np.maximum(np.maximum(dz, dy), dx) < 1.0
     elif kind == "cross":
-        thin = 0.35
+        thin = 0.3
         occ = (
             ((dz < thin) & (dy < thin) & (dx < 1.0))
             | ((dz < thin) & (dx < thin) & (dy < 1.0))
             | ((dy < thin) & (dx < thin) & (dz < 1.0))
         )
+    elif kind == "slab":
+        # A thin flat plate: point mass concentrates on a plane — widely
+        # separated (under Chamfer) from both the solid box and the cross.
+        occ = (dz < 0.18) & (dy < 1.0) & (dx < 1.0)
     else:  # ellipsoid
         occ = dz**2 + dy**2 + dx**2 < 1.0
     return occ.astype(np.float32)
 
 
-SHAPE_KINDS = {"chair": "box", "airplane": "cross", "table": "ellipsoid"}
+# Class-distinct families with wide Chamfer margins (solid volume / thin
+# orthogonal arms / flat plate) so conditional-generation evals have
+# separable targets even at moderate sample quality.
+SHAPE_KINDS = {"chair": "box", "airplane": "cross", "table": "slab"}
 
 
 def main():

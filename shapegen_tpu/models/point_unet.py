@@ -90,6 +90,22 @@ class PointUNetLarge(nn.Module):
         t_tiled = jnp.broadcast_to(t_emb[:, None, :], (B, N, t_emb.shape[-1]))
         h = jnp.concatenate([x.astype(self.dtype), t_tiled], axis=-1)
 
+        def inject(d, name):
+            # Conditional-only per-stage conditioning (extension): the
+            # input-concat pathway alone washes out through the encoder/max
+            # -pool, leaving class conditioning too weak to steer sampling;
+            # an additive projection of the (time+class) embedding into each
+            # decoder stage keeps it live. Explicitly named so the
+            # UNCONDITIONAL parameter tree is byte-identical to before
+            # (checkpoint compatibility, tests/test_param_structure.py).
+            if self.num_classes is None:
+                return d
+            e = nn.Dense(
+                d.shape[-1], name=name, kernel_init=kaiming_out,
+                dtype=self.dtype,
+            )(t_emb)
+            return d + e[:, None, :]
+
         x1 = PointNetLayer(64, 128, dtype=self.dtype)(h, train)
         x2 = PointNetLayer(128, 256, dtype=self.dtype)(x1, train)
         x3 = PointNetLayer(256, 512, dtype=self.dtype)(x2, train)
@@ -120,17 +136,18 @@ class PointUNetLarge(nn.Module):
             dtype=self.dtype,
         )(d)
         d = nn.relu(d)
+        d = inject(d, "cond_dec4")
         d = DenseBN(1024, dtype=self.dtype)(d, train)
         d = DenseBN(512, dtype=self.dtype)(d, train)
 
         d = PointNetLayer(512, 256, dtype=self.dtype)(
-            jnp.concatenate([d, r3], axis=-1), train
+            jnp.concatenate([inject(d, "cond_dec3"), r3], axis=-1), train
         )
         d = PointNetLayer(256, 128, dtype=self.dtype)(
-            jnp.concatenate([d, r2], axis=-1), train
+            jnp.concatenate([inject(d, "cond_dec2"), r2], axis=-1), train
         )
         d = PointNetLayer(128, 64, dtype=self.dtype)(
-            jnp.concatenate([d, r1], axis=-1), train
+            jnp.concatenate([inject(d, "cond_dec1"), r1], axis=-1), train
         )
 
         out = DenseBN(64, dtype=self.dtype)(d, train)

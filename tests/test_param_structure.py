@@ -54,9 +54,15 @@ def test_conditional_only_adds_embed():
     vu = un.init(jax.random.PRNGKey(0), x, t, train=False)
     vc = co.init(jax.random.PRNGKey(0), x, t, y=jnp.zeros((1,), jnp.int32),
                  train=False)
-    ku = jax.tree_util.tree_structure(vu["params"])
-    # Same tree except TimeMLP gains an Embed_0 collection.
-    assert sorted(vc["params"].keys()) == sorted(vu["params"].keys())
+    # Same tree except TimeMLP gains an Embed_0 and the conditional-only
+    # per-decoder-stage injection heads appear (explicitly named so the
+    # auto-numbered unconditional modules keep their names).
+    cond_only = {"cond_dec4", "cond_dec3", "cond_dec2", "cond_dec1"}
+    assert sorted(set(vc["params"].keys()) - cond_only) == sorted(
+        vu["params"].keys()
+    )
+    assert cond_only <= set(vc["params"].keys())
+    assert not (cond_only & set(vu["params"].keys()))
     assert "Embed_0" in vc["params"]["TimeMLP_0"]
     assert "Embed_0" not in vu["params"]["TimeMLP_0"]
 
