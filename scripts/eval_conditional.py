@@ -42,6 +42,7 @@ def parse_args():
     p.add_argument("--num-per-class", type=int, default=8)
     p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--guidance", type=float, default=2.0)
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm"])
     p.add_argument("--max-refs", type=int, default=64,
                    help="cap on reference clouds per class")
     p.add_argument("--seed", type=int, default=24)
@@ -136,6 +137,7 @@ def main():
         out = task.sample_conditional(
             state, jax.random.fold_in(key, i), lab,
             num_steps=args.num_steps, guidance_scale=args.guidance,
+            sampler=args.sampler,
         )
         gens[cat] = np.asarray(jax.device_get(out))
         print(f"[gen ] {cat}: {gens[cat].shape}")
@@ -190,6 +192,7 @@ def main():
                     "num_per_class": args.num_per_class,
                     "num_steps": args.num_steps,
                     "guidance": args.guidance,
+                    "sampler": args.sampler,
                     "mean_cd": mean_cd.tolist(),
                     "mmd_cd": mmd_cd.tolist(),
                     "cov_own": cov_own,

@@ -37,19 +37,22 @@ def make_blob(rng: np.random.Generator, res: int = 32, kind: str = "ellipsoid") 
             | ((dz < thin) & (dx < thin) & (dy < 1.0))
             | ((dy < thin) & (dx < thin) & (dz < 1.0))
         )
+    elif kind == "rod":
+        # A thin bar along one axis: 1-D mass distribution.
+        occ = (dz < 1.0) & (dy < 0.28) & (dx < 0.28)
     elif kind == "slab":
-        # A thin flat plate: point mass concentrates on a plane — widely
-        # separated (under Chamfer) from both the solid box and the cross.
+        # A thin flat plate: 2-D mass distribution.
         occ = (dz < 0.18) & (dy < 1.0) & (dx < 1.0)
     else:  # ellipsoid
         occ = dz**2 + dy**2 + dx**2 < 1.0
     return occ.astype(np.float32)
 
 
-# Class-distinct families with wide Chamfer margins (solid volume / thin
-# orthogonal arms / flat plate) so conditional-generation evals have
-# separable targets even at moderate sample quality.
-SHAPE_KINDS = {"chair": "box", "airplane": "cross", "table": "slab"}
+# Class-distinct families with wide Chamfer margins — mass distributions of
+# different intrinsic dimension (3-D solid cube / 1-D rod / 2-D plate) — so
+# conditional-generation evals have separable targets even at moderate
+# sample quality.
+SHAPE_KINDS = {"chair": "box", "airplane": "rod", "table": "slab"}
 
 
 def main():

@@ -218,9 +218,12 @@ class PointDiffusionTask:
         num_points: Optional[int] = None,
         num_steps: int = 1000,
         guidance_scale: float = 1.0,
+        sampler: str = "ddim",
     ):
-        """Category-conditional DDIM sampling with classifier-free guidance
-        (extension; eps = (1+w)*eps_cond - w*eps_uncond for w > 0)."""
+        """Category-conditional sampling with classifier-free guidance
+        (extension; eps = (1+w)*eps_cond - w*eps_uncond for w > 0).
+        ``sampler``: 'ddim' (deterministic, the reference's default
+        entrypoint math) or 'ddpm' (ancestral)."""
         assert self.num_classes is not None, "task is unconditional"
         num_points = num_points or self.num_points
         labels = jnp.asarray(labels, jnp.int32)
@@ -234,7 +237,10 @@ class PointDiffusionTask:
             eps_u = self.model.apply(variables, x_t, t, y=null, train=False)
             return (1.0 + guidance_scale) * eps_c - guidance_scale * eps_u
 
-        return samplers.ddim_sample(
+        sample_fn = (
+            samplers.ddpm_sample if sampler == "ddpm" else samplers.ddim_sample
+        )
+        return sample_fn(
             key, denoise, (labels.shape[0], num_points, 3),
             num_steps=num_steps, schedule=self.schedule,
         )
