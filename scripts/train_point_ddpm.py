@@ -41,6 +41,12 @@ def parse_args():
     p.add_argument("--max-epochs", type=int, default=500)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--noise-schedule", default="cosine", choices=["cosine", "linear"])
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype (params/optimizer/loss stay "
+                        "f32). bfloat16 gives ~1.3x train-step throughput "
+                        "on TPU (BASELINE.md); float32 = exact reference "
+                        "numerics")
     p.add_argument("--lr-schedule", default="plateau",
                    choices=["plateau", "none"],
                    help="plateau = reference ReduceLROnPlateau(0.5, 5); "
@@ -117,7 +123,8 @@ def main():
         assert task.num_points == args.num_points
     else:
         model = models.PointUNetLarge(
-            dim=args.dim, time_dim=args.time_dim, num_classes=num_classes
+            dim=args.dim, time_dim=args.time_dim, num_classes=num_classes,
+            dtype=jnp.dtype(args.compute_dtype),
         )
         task = tasks.PointDiffusionTask(
             model, num_points=args.num_points, lr=args.lr,

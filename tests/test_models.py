@@ -202,3 +202,21 @@ def test_kl_warmup_schedule():
     assert np.isclose(float(kl_warmup_weight(200, 500)), 1.0)
     # max_epochs caps annealing (min(max_epochs, kl_annealing_epochs))
     assert np.isclose(float(kl_warmup_weight(49, 50)), 1.0)
+
+
+def test_pointunet_bfloat16_compute(rng):
+    """--compute-dtype bfloat16 path: bf16 internals, f32 head/params."""
+    model = models.PointUNetLarge(dim=32, time_dim=32, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+    t = jnp.asarray([0.2, 0.8], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, t, train=False)
+    # Params stay f32 (mixed-precision recipe: bf16 compute, f32 master).
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(variables["params"])
+    )
+    out, _ = model.apply(
+        variables, x, t, train=True, mutable=["batch_stats"]
+    )
+    assert out.dtype == jnp.float32  # output head computes in f32
+    assert np.isfinite(np.asarray(out)).all()
