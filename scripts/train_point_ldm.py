@@ -57,6 +57,11 @@ def parse_args():
     p.add_argument("--max-decode-points", type=int, default=8192)
     p.add_argument("--ckpt-root", default="checkpoints")
     p.add_argument("--tb-dir", default="lightning_logs")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype for the VAE and latent UNet "
+                        "(params/optimizer/loss stay f32); float32 = exact "
+                        "reference numerics")
     p.add_argument("--save-top-k", type=int, default=10,
                    help="top-k checkpoints per monitor (reference: 10)")
     p.add_argument("--save-last-every", type=int, default=1,
@@ -87,11 +92,13 @@ def build_vae_task(args):
     kind = _vae_kind(args)
     if kind == "vae3d_large":
         return tasks.VAE3DLargeTask(
-            models.VAE3DLarge(latent_dim=args.latent_dim),
+            models.VAE3DLarge(latent_dim=args.latent_dim,
+                              dtype=jnp.dtype(args.compute_dtype)),
             max_epochs=args.max_epochs,
         )
     if kind == "vae3d":
-        return tasks.VAE3DTask(models.VAE3D(latent_dim=args.latent_dim))
+        return tasks.VAE3DTask(models.VAE3D(
+            latent_dim=args.latent_dim, dtype=jnp.dtype(args.compute_dtype)))
     if kind == "pointnet":
         return tasks.PointNetVAETask(
             models.PointNetVAE(num_points=args.num_points,
@@ -143,7 +150,8 @@ def train_diffusion(args, data_module, vae_task, vae_state, logger, timestamp, m
         )
 
     latent_model = models.SimpleLatentUNet(
-        latent_dim=args.latent_dim, dim=512, time_dim=256
+        latent_dim=args.latent_dim, dim=512, time_dim=256,
+        dtype=jnp.dtype(args.compute_dtype),
     )
     task = tasks.LatentDiffusionTask(
         latent_model,
