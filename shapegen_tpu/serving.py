@@ -42,6 +42,35 @@ def export_sampler(
     return bytes(exported.serialize())
 
 
+def export_conditional_sampler(
+    task,
+    state,
+    labels,
+    num_points: int = None,
+    num_steps: int = 1000,
+    guidance_scale: float = 2.0,
+    platforms=None,
+) -> bytes:
+    """Serialize the classifier-free-guided conditional sampler with the
+    label batch and guidance scale baked in (one artifact per serving
+    configuration; see export_sampler)."""
+    labels = jnp.asarray(labels, jnp.int32)
+
+    def run(key_data):
+        key = jax.random.wrap_key_data(key_data)
+        return task.sample_conditional(
+            state, key, labels, num_points=num_points, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+        )
+
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax_export.export(jax.jit(run), **kwargs)(key_spec)
+    return bytes(exported.serialize())
+
+
 def load_sampler(blob: bytes):
     """Deserialize an exported sampler; returns fn(key_data) -> samples."""
     exported = jax_export.deserialize(blob)

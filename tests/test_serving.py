@@ -26,3 +26,30 @@ def test_export_load_roundtrip():
     # Matches the live sampler up to compilation-order float noise.
     live = task.sample(state, jax.random.PRNGKey(7), 2, 16, num_steps=3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(live), rtol=1e-4)
+
+
+def test_export_conditional_roundtrip():
+    model = models.PointUNetLarge(dim=32, time_dim=32, num_classes=5)
+    task = tasks.PointDiffusionTask(model, num_points=16, num_classes=5)
+    state = task.init_state(jax.random.PRNGKey(0), jnp.zeros((2, 16, 3)))
+
+    labels = jnp.asarray([1, 3], jnp.int32)
+    blob = serving.export_conditional_sampler(
+        task, state, labels, num_points=16, num_steps=3, guidance_scale=2.0
+    )
+    fn = serving.load_sampler(blob)
+    out = fn(serving.key_data(9))
+    assert out.shape == (2, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    live = task.sample_conditional(
+        state, jax.random.PRNGKey(9), labels, num_points=16, num_steps=3,
+        guidance_scale=2.0,
+    )
+    # Untrained weights + CFG at 3 steps produce huge values (the final
+    # /signal_rate=0.02 divide amplifies fp noise); compare to a
+    # scale-aware tolerance.
+    live = np.asarray(live)
+    np.testing.assert_allclose(
+        np.asarray(out), live, rtol=1e-3, atol=1e-4 * np.abs(live).max()
+    )

@@ -170,3 +170,25 @@ def test_global_batch_from_local(mesh):
     pts, lab = global_batch_from_local((batch, labels), mesh)
     np.testing.assert_array_equal(np.asarray(lab), labels)
     assert len(lab.sharding.device_set) == 8
+
+
+def test_initialize_distributed_env_gated(monkeypatch):
+    """No-op without the coordinator env vars; wires through with them."""
+    from shapegen_tpu.parallel import initialize_distributed
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    initialize_distributed()
+    assert calls == []
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    initialize_distributed()
+    assert calls == [
+        {"coordinator_address": "10.0.0.1:1234", "num_processes": 2,
+         "process_id": 1}
+    ]
