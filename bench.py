@@ -88,6 +88,10 @@ def _run_json(cmd, env=None):
         cmd, env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        # Surface the failure on stderr (stdout must stay one JSON line).
+        print(out.stderr, file=sys.stderr)
+        raise RuntimeError(f"baseline subprocess failed: {cmd}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -62,6 +62,9 @@ def reference_set(data_dir, category, num_points, max_refs):
         relevant_object_categories=[category],
         seed=24,
     )
+    assert len(ds) > 0, (
+        f"no .dd files for category {category!r} in {data_dir!r}"
+    )
     n = min(len(ds), max_refs)
     clouds = np.stack([ds[i] for i in range(n)])
     return clouds, ds.label_for(0)
@@ -88,13 +91,15 @@ def main():
     cats0 = args.categories
     ref_sep = np.zeros((len(cats0), len(cats0)))
     for i, ci in enumerate(cats0):
-        for j, cj in enumerate(cats0):
+        for j in range(i, len(cats0)):  # CD is symmetric: d_ji = d_ij.T
             d = np.asarray(jax.device_get(
-                metrics.pairwise_chamfer_matrix(refs[ci], refs[cj])
+                metrics.pairwise_chamfer_matrix(refs[ci], refs[cats0[j]])
             ))
             if i == j:
                 d = d + np.diag(np.full(d.shape[0], np.inf))  # exclude self
             ref_sep[i, j] = float(np.min(d, axis=1).mean())
+            if i != j:
+                ref_sep[j, i] = float(np.min(d.T, axis=1).mean())
     print("\nReference-vs-reference separability "
           "(mean over class-i refs of min CD to class-j refs; diag=LOO):")
     for i, ci in enumerate(cats0):

@@ -132,7 +132,11 @@ def main():
             lr_schedule=args.lr_schedule,
         )
 
-    mesh = make_mesh(args.num_devices) if (args.num_devices or 1) > 1 else None
+    # A mesh is mandatory on pods: per-host input shards only combine into
+    # one training run through the data-sharded step (otherwise every
+    # process would silently train its own model on a disjoint shard).
+    use_mesh = (args.num_devices or 1) > 1 or jax.process_count() > 1
+    mesh = make_mesh(args.num_devices) if use_mesh else None
 
     def on_epoch_end(trainer, state, epoch):
         # Epoch-end sample figures (diffusion.py:339-358 parity).

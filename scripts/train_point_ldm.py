@@ -197,7 +197,11 @@ def main():
         relevant_object_categories=args.categories,
         seed=args.seed,
     )
-    mesh = make_mesh(args.num_devices) if (args.num_devices or 1) > 1 else None
+    # A mesh is mandatory on pods: per-host input shards only combine into
+    # one training run through the data-sharded step (otherwise every
+    # process would silently train its own model on a disjoint shard).
+    use_mesh = (args.num_devices or 1) > 1 or jax.process_count() > 1
+    mesh = make_mesh(args.num_devices) if use_mesh else None
 
     logger.info("Starting VAE Training" if not args.skip_vae_training else "Loading VAE")
     vae_task, vae_state = train_vae(args, data_module, logger, timestamp, mesh)

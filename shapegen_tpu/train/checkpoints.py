@@ -60,6 +60,8 @@ class TopKCheckpointer:
                 continue
             kept.append((float(meta["value"]), path))
         kept.sort(key=lambda kv: kv[0], reverse=(self.mode != "min"))
+        if self.save_top_k < 0:  # -1: keep everything
+            return kept
         return kept[: self.save_top_k]
 
     def _is_better(self, a: float, b: float) -> bool:
@@ -68,7 +70,9 @@ class TopKCheckpointer:
     def would_save(self, value: float) -> bool:
         """Admission check without touching the state (lets the trainer skip
         the device->host state fetch when nothing would be written)."""
-        if self.save_top_k <= 0:
+        if self.save_top_k < 0:
+            return True  # save_top_k=-1: keep every checkpoint (Lightning)
+        if self.save_top_k == 0:
             return False  # monitor disabled (Lightning save_top_k=0 parity)
         if len(self._kept) < self.save_top_k:
             return True
@@ -105,7 +109,7 @@ class TopKCheckpointer:
 
         self._kept.append((value, path))
         self._kept.sort(key=lambda kv: kv[0], reverse=(self.mode != "min"))
-        while len(self._kept) > self.save_top_k:
+        while self.save_top_k > 0 and len(self._kept) > self.save_top_k:
             _, evict = self._kept.pop()
             shutil.rmtree(evict, ignore_errors=True)
             try:

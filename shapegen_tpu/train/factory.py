@@ -37,6 +37,7 @@ def task_from_hparams(
             dim=hparams.get("dim", 256),
             time_dim=hparams.get("time_dim", 256),
             num_classes=num_classes,
+            dtype=jnp.dtype(hparams.get("compute_dtype", "float32")),
         )
         return tasks.PointDiffusionTask(
             model,
@@ -44,6 +45,7 @@ def task_from_hparams(
             lr=hparams.get("lr", 1e-4),
             noise_schedule=hparams.get("noise_schedule", "cosine"),
             num_classes=num_classes,
+            lr_schedule=hparams.get("lr_schedule", "plateau"),
         )
     if kind == "latent_diffusion":
         if vae_model is None or vae_variables is None:

@@ -83,6 +83,8 @@ class PointDiffusionTask:
             "lr": lr,
             "noise_schedule": noise_schedule,
             "num_classes": num_classes,
+            "lr_schedule": lr_schedule,
+            "compute_dtype": jnp.dtype(model.dtype).name,
         }
 
     def _split_batch(self, batch):

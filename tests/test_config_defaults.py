@@ -57,3 +57,22 @@ def test_train_defaults():
     c = config.TrainRunConfig()
     assert c.max_epochs == 500
     assert c.save_top_k == 10
+
+
+def test_point_diffusion_hparams_roundtrip_extensions():
+    """lr_schedule and compute_dtype survive the checkpoint hparams ->
+    factory round trip (a resumed run must not silently revert them)."""
+    import jax.numpy as jnp
+
+    from shapegen_tpu import models
+    from shapegen_tpu.train import tasks
+    from shapegen_tpu.train.factory import task_from_hparams
+
+    model = models.PointUNetLarge(dim=32, time_dim=32, dtype=jnp.bfloat16)
+    task = tasks.PointDiffusionTask(
+        model, num_points=64, lr_schedule="none"
+    )
+    rebuilt = task_from_hparams(task.hparams)
+    assert rebuilt.lr_schedule == "none"
+    assert rebuilt.make_scheduler() is None
+    assert rebuilt.model.dtype == jnp.bfloat16

@@ -136,3 +136,26 @@ def test_topk_restart_via_trainer(data_dir, tmp_path):
         if f.endswith(".ckpt") and "val_loss" in f
     ]
     assert len(val_files) <= 2
+
+
+def test_save_top_k_minus_one_keeps_all(tmp_path):
+    """Lightning save_top_k=-1 semantics: every checkpoint is kept."""
+    from shapegen_tpu.train.checkpoints import TopKCheckpointer
+
+    ck = TopKCheckpointer(str(tmp_path), "val_loss", "m", save_top_k=-1)
+    state = {"w": np.zeros((2,), np.float32)}
+    for epoch, v in enumerate([3.0, 1.0, 2.0, 0.5]):
+        assert ck.would_save(v)
+        assert ck.maybe_save(state, epoch, v) is not None
+    assert len(ck._kept) == 4
+    # Rehydration sees all of them too.
+    ck2 = TopKCheckpointer(str(tmp_path), "val_loss", "m", save_top_k=-1)
+    assert len(ck2._kept) == 4
+
+
+def test_save_top_k_zero_disables(tmp_path):
+    from shapegen_tpu.train.checkpoints import TopKCheckpointer
+
+    ck = TopKCheckpointer(str(tmp_path), "val_loss", "m", save_top_k=0)
+    assert not ck.would_save(0.1)
+    assert ck.maybe_save({"w": np.zeros(2, np.float32)}, 0, 0.1) is None
