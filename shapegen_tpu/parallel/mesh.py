@@ -27,6 +27,16 @@ def make_mesh(
 ) -> Mesh:
     """1-D (or reshaped N-D) mesh over the first num_devices devices."""
     devices = jax.devices()
+    if jax.process_count() > 1 and num_devices not in (None, len(devices)):
+        # On a pod, a mesh that covers only some processes' devices breaks
+        # make_array_from_process_local_data (every process must contribute
+        # its addressable shards). The full global mesh is the only valid
+        # data-parallel layout here.
+        raise ValueError(
+            f"num_devices={num_devices} on a {jax.process_count()}-process "
+            f"run: multi-host meshes must span all {len(devices)} global "
+            "devices (omit --num-devices)"
+        )
     n = num_devices or len(devices)
     devices = np.asarray(devices[:n])
     if len(axis_names) > 1:

@@ -20,6 +20,29 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _make_checkpointer() -> Optional[ocp.StandardCheckpointer]:
+    """On a pod, only process 0 performs checkpoint I/O: the train state is
+    fully data-parallel-replicated, so its copy is complete, and restricting
+    Orbax's active processes to {0} keeps its commit barriers from spanning
+    hosts that never write (a global barrier there DEADLINE_EXCEEDs —
+    observed with 2 Gloo processes in tests/test_distributed.py). Non-primary
+    hosts get None — Orbax refuses to even construct a checkpointer whose
+    active set excludes the current process."""
+    if jax.process_count() > 1:
+        if not _is_primary():
+            return None
+        return ocp.StandardCheckpointer(
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}
+            )
+        )
+    return ocp.StandardCheckpointer()
+
+
 class TopKCheckpointer:
     def __init__(
         self,
@@ -34,7 +57,7 @@ class TopKCheckpointer:
         self.prefix = filename_prefix
         self.save_top_k = save_top_k
         self.mode = mode
-        self._ckpt = ocp.StandardCheckpointer()
+        self._ckpt = _make_checkpointer()
         os.makedirs(self.dirpath, exist_ok=True)
         # Rehydrate the top-k ledger from sidecar metadata so a resumed run
         # admits/evicts against pre-crash checkpoints — Lightning persists
@@ -87,7 +110,12 @@ class TopKCheckpointer:
         hparams: Optional[Dict] = None,
         extra: Optional[Dict] = None,
     ) -> Optional[str]:
-        """Save if `value` ranks in the top k for this monitor. Returns path."""
+        """Save if `value` ranks in the top k for this monitor. Returns path.
+
+        Multi-process: only process 0 writes (see _make_checkpointer); other
+        hosts return None and keep their (unused) ledgers empty."""
+        if not _is_primary():
+            return None
         if not self.would_save(value):
             return None
 
@@ -107,6 +135,11 @@ class TopKCheckpointer:
         with open(path + ".json", "w") as f:
             json.dump(meta, f)
 
+        # Dedupe by path: a resumed run that re-earns an existing
+        # (epoch, value) name rewrites the same directory — a second ledger
+        # tuple for it would let a later eviction delete the directory while
+        # the surviving tuple (possibly best_path) still references it.
+        self._kept = [kv for kv in self._kept if kv[1] != path]
         self._kept.append((value, path))
         self._kept.sort(key=lambda kv: kv[0], reverse=(self.mode != "min"))
         while self.save_top_k > 0 and len(self._kept) > self.save_top_k:
@@ -131,10 +164,12 @@ def save_last_checkpoint(
     the reference, whose only recovery is manually pointing at a top-k file,
     SURVEY.md §5)."""
     path = os.path.join(os.path.abspath(dirpath), "last.ckpt")
+    if not _is_primary():
+        return path  # pod: process 0 owns all checkpoint I/O
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    ckpt = ocp.StandardCheckpointer()
+    ckpt = _make_checkpointer()
     ckpt.save(tmp, jax.device_get(state))
     ckpt.wait_until_finished()
     if os.path.exists(path):
@@ -164,6 +199,17 @@ def find_latest_checkpoint(dirpath: str) -> Optional[str]:
     if not ckpts:
         return None
     return max(ckpts, key=os.path.getmtime)
+
+
+def load_checkpoint_meta(path: str) -> Dict:
+    """Read only the sidecar metadata JSON — no state restore. Use this when
+    just the hparams/extra are needed (a full restore of a big state tree
+    through the axon tunnel is ~9 MB/s; the sidecar is a few KB)."""
+    meta = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return meta
 
 
 def load_checkpoint(path: str, target: Any = None) -> Tuple[Any, Dict]:

@@ -84,6 +84,11 @@ class Trainer:
             config.ckpt_dir, "train_loss", config.ckpt_prefix, config.save_top_k
         )
 
+        # Per-epoch metric dicts appended during fit() — programmatic access
+        # to what the log lines / TensorBoard scalars carry (used by the
+        # multi-process integration harness and available to library users).
+        self.history: List[Dict[str, float]] = []
+
         self.tb = None
         if config.tb_dir is not None:
             try:
@@ -111,24 +116,46 @@ class Trainer:
             self.tb.add_figure(tag, fig, global_step=epoch)
 
     def _device_batch(self, batch):
-        """Host batch -> device, padded to a device multiple under a mesh.
+        """Host batch -> device(s); exact numerics on partial tail batches.
 
-        Sharding requires the batch dim divisible by the mesh; the final
-        partial batch is padded by repeating its first rows (slightly
-        over-weights them in that batch's metrics — the alternative is
-        dropping the tail, which Lightning doesn't do either).
+        Sharding needs the batch dim divisible by the mesh. For a partial
+        final batch (len(split) % batch != 0) on a single-process mesh, the
+        batch is REPLICATED across the mesh instead of padded: every device
+        runs the identical unsharded computation (losses, gradients, and
+        BatchNorm batch stats bitwise match the mesh-less/reference path),
+        and the output state stays mesh-replicated so the next full batch
+        hits the same compiled program. Costs one extra compile for the tail
+        shape, nothing else.
+
+        On a multi-process run the tail data is split across hosts, so
+        replication is impossible; there the local batch is padded by
+        repeating its first rows (slightly over-weighting them in that one
+        batch's metrics — the alternative is dropping the tail, which
+        Lightning doesn't do either).
         """
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
-        if self.mesh is not None:
-            n = self.mesh.devices.size
+        if self.mesh is None:
+            return shard_batch(batch, None)
+        n = self.mesh.devices.size
+        local_rows = jax.tree_util.tree_leaves(batch)[0].shape[0]
+
+        if jax.process_count() > 1:
+            # Local rows must divide the local device count so the
+            # assembled global batch divides the full mesh.
+            n_local = max(n // jax.process_count(), 1)
 
             def pad(x):
-                rem = x.shape[0] % n
+                rem = x.shape[0] % n_local
                 if rem:
-                    return jnp.concatenate([x, x[: n - rem]], axis=0)
+                    return jnp.concatenate([x, x[: n_local - rem]], axis=0)
                 return x
 
-            batch = jax.tree_util.tree_map(pad, batch)
+            return shard_batch(jax.tree_util.tree_map(pad, batch), self.mesh)
+
+        if local_rows % n:
+            from shapegen_tpu.parallel.mesh import replicated_sharding
+
+            return jax.device_put(batch, replicated_sharding(self.mesh))
         return shard_batch(batch, self.mesh)
 
     # ------------------------------------------------------------------- fit
@@ -216,6 +243,7 @@ class Trainer:
                 for k, v in list(train_metrics.items()) + list(val_metrics.items())
             }
             epoch_metrics["lr"] = get_learning_rate(state)
+            self.history.append(dict(epoch_metrics))
             self._tb_scalars(epoch_metrics, epoch)
             dt = time.time() - t0
             self._log(
@@ -242,6 +270,10 @@ class Trainer:
                 train_loss
             )
             want_last = (epoch + 1) % max(cfg.save_last_every, 1) == 0
+            # Pod: process 0 owns all checkpoint I/O (checkpoints.py), so
+            # other hosts skip the device->host state fetch entirely.
+            if jax.process_index() != 0:
+                want_val = want_train = want_last = False
             if want_val or want_train or want_last:
                 host_state = jax.device_get(
                     {

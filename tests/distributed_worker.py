@@ -1,0 +1,156 @@
+"""Subprocess worker for the REAL multi-process (pod) integration test.
+
+Launched by tests/test_distributed.py, once per simulated host. Each process
+owns `--devices-per-process` virtual CPU devices and joins a
+``jax.distributed`` job over Gloo — the same code path a TPU pod runs over
+DCN (initialize -> per-host dataset shards -> global batch assembly via
+``make_array_from_process_local_data`` -> data-sharded jitted steps with
+cross-process collectives).
+
+Two phases, results written to ``--out`` (npz):
+
+  A. *Exact-step parity*: every process slices its rows of one canonical
+     global batch, so the assembled global batch is identical to what a
+     single-process run sees; 3 train steps from an identical init must then
+     produce the same losses/params regardless of process topology.
+  B. *Real Trainer.fit*: 2 epochs through PointCloudDataDirectoryModule
+     (per-host equalized shards, prefetch loaders) on a full global mesh —
+     the end-to-end pod training path.
+
+This file is NOT collected by pytest (no test_ prefix in its functions).
+"""
+
+import argparse
+import json
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--coordinator", default="127.0.0.1:29871")
+    ap.add_argument("--devices-per-process", type=int, default=4)
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--local-batch", type=int, default=4)
+    args = ap.parse_args()
+
+    # Platform setup must precede the first jax import (conftest.py pattern).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags
+            + f" --xla_force_host_platform_device_count={args.devices_per_process}"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    if args.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    assert jax.process_count() == args.num_processes
+    assert jax.device_count() == args.num_processes * args.devices_per_process
+
+    import hashlib
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shapegen_tpu import models
+    from shapegen_tpu.data import PointCloudDataDirectoryModule
+    from shapegen_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from shapegen_tpu.train import Trainer, TrainerConfig, tasks
+
+    mesh = make_mesh()  # full global mesh — mandatory on pods
+
+    def flat_params(params):
+        leaves = jax.tree_util.tree_leaves(jax.device_get(params))
+        return np.concatenate(
+            [np.asarray(l, np.float64).ravel() for l in leaves]
+        )
+
+    # ---- Phase A: exact-step parity on a canonical global batch ----------
+    NUM_POINTS, G = 32, 16
+    canonical = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (G, NUM_POINTS, 3)),
+        np.float32,
+    )
+    task = tasks.PointDiffusionTask(
+        models.SimplePointUNet(dim=32, time_dim=32),
+        num_points=NUM_POINTS, lr=1e-3,
+    )
+    state = task.init_state(jax.random.PRNGKey(1), jnp.asarray(canonical[:2]))
+    state = replicate_state(state, mesh)
+    per = G // args.num_processes
+    local = canonical[args.process_id * per : (args.process_id + 1) * per]
+    step_fn = jax.jit(task.train_step, donate_argnums=(0,))
+    step_losses = []
+    step1_params = None
+    for i in range(3):
+        batch = shard_batch(jnp.asarray(local), mesh)
+        state, metrics = step_fn(
+            state, batch,
+            jax.random.fold_in(jax.random.PRNGKey(5), i),
+            jnp.asarray(0, jnp.int32),
+        )
+        step_losses.append(float(metrics["train_loss"]))
+        if i == 0:
+            # After ONE step the only cross-topology difference is the
+            # reduction order of the gradient psum (~1e-7 relative); later
+            # steps let Adam's eps-normalized updates amplify that noise
+            # chaotically, so exact comparisons only make sense here.
+            step1_params = flat_params(state.params)
+    step_params = flat_params(state.params)
+
+    # ---- Phase B: real Trainer.fit over per-host dataset shards ----------
+    dm = PointCloudDataDirectoryModule(
+        args.data_dir, num_points=NUM_POINTS, batch_size=args.local_batch,
+        num_workers=1, output_mode="point_clouds", augmentations=False,
+        relevant_object_categories=["all"],
+    )
+    task2 = tasks.PointDiffusionTask(
+        models.SimplePointUNet(dim=32, time_dim=32),
+        num_points=NUM_POINTS, lr=1e-3,
+    )
+    cfg = TrainerConfig(
+        max_epochs=args.epochs,
+        ckpt_dir=os.path.join(args.workdir, f"ck{args.process_id}"),
+        ckpt_prefix="pod", tb_dir=None, save_top_k=1,
+    )
+    trainer = Trainer(task2, cfg, mesh=mesh)
+    final_state = trainer.fit(dm)
+    fit_params = flat_params(final_state.params)
+
+    np.savez(
+        args.out,
+        step_losses=np.asarray(step_losses),
+        step1_params=step1_params,
+        step_params=step_params,
+        fit_params=fit_params,
+        history=json.dumps(trainer.history),
+        train_shard=np.asarray(dm.train_indices),
+        val_shard=np.asarray(dm.val_indices),
+        process_count=args.num_processes,
+        device_count=jax.device_count(),
+    )
+    print(
+        f"[worker {args.process_id}/{args.num_processes}] OK "
+        f"devices={jax.device_count()} "
+        f"step_losses={step_losses} "
+        f"fit_sha={hashlib.sha256(fit_params.tobytes()).hexdigest()[:12]}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -194,3 +194,21 @@ def test_datamodule_multihost_index_sharding(data_dir, monkeypatch):
     # Shards come from the same global split every host computes.
     assert (tr0 | tr1) <= set(full.train_indices.tolist())
     assert (va0 | va1) <= set(full.val_indices.tolist())
+
+
+def test_datamodule_multihost_rejects_tiny_val_split(data_dir, monkeypatch):
+    """Equalized sharding truncates to len//process_count: a val split
+    smaller than the pod would leave some host with zero val samples
+    (undefined val_loss -> broken plateau scheduler / top-k monitor).
+    setup() must fail loudly instead."""
+    import jax
+    import pytest
+
+    monkeypatch.setattr(jax, "process_count", lambda: 10_000)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    m = PointCloudDataDirectoryModule(
+        data_dir, num_points=64, batch_size=2,
+        output_mode="point_clouds", augmentations=False,
+    )
+    with pytest.raises(ValueError, match="val split"):
+        m.setup()

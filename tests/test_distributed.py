@@ -1,0 +1,159 @@
+"""REAL multi-process (pod) integration test — no monkeypatching.
+
+Spawns actual OS processes that join one ``jax.distributed`` job over Gloo
+(4 virtual CPU devices each), exactly how a multi-host TPU pod composes:
+per-host data shards -> ``make_array_from_process_local_data`` global
+batches -> data-sharded jitted steps with cross-process collectives.
+
+Asserts, against a single-process 8-device run of the same data:
+  * exact-step parity (same canonical global batch => same losses/params),
+  * SPMD consistency (every process ends Trainer.fit with identical params),
+  * disjoint, equalized per-host dataset shards,
+  * sane end-to-end fit behavior (finite, decreasing loss).
+
+The reference is single-process by construction
+(/root/reference/train_point_ddpm.py:82) — this capability is an extension
+(SURVEY.md §2.10), and this test is its execution evidence.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "distributed_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env():
+    env = dict(os.environ)
+    # Workers configure their own platform/devices; drop anything the pytest
+    # parent (or an outer launcher) may have pinned.
+    for k in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_COORDINATOR_ADDRESS",
+              "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        env.pop(k, None)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # never touch the TPU tunnel from tests
+    return env
+
+
+def _run_workers(num_processes, data_dir, workdir, global_batch=8, epochs=2):
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(num_processes):
+        out = os.path.join(workdir, f"out_{num_processes}p_{pid}.npz")
+        outs.append(out)
+        cmd = [
+            sys.executable, WORKER,
+            "--process-id", str(pid),
+            "--num-processes", str(num_processes),
+            "--coordinator", f"127.0.0.1:{port}",
+            "--devices-per-process", str(8 // num_processes),
+            "--data-dir", data_dir,
+            "--out", out,
+            "--workdir", workdir,
+            "--epochs", str(epochs),
+            "--local-batch", str(global_batch // num_processes),
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, cwd=REPO, env=_clean_env(),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    results = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
+        results.append(stdout)
+    return [dict(np.load(o, allow_pickle=False)) for o in outs], results
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("poddata")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_synthetic_data.py"),
+         str(d), "--per-category", "10"],
+        check=True, cwd=REPO,
+    )
+    return str(d)
+
+
+def test_two_process_pod_executes_and_matches_single_process(
+    data_dir, tmp_path
+):
+    single, _ = _run_workers(1, data_dir, str(tmp_path))
+    pods, logs = _run_workers(2, data_dir, str(tmp_path))
+    s, p0, p1 = single[0], pods[0], pods[1]
+
+    assert int(s["device_count"]) == 8 and int(p0["device_count"]) == 8
+    assert int(p0["process_count"]) == 2
+
+    # --- Phase A: exact-step parity across process topologies.
+    # Same canonical global batch + same init + same step RNG => step 1 of
+    # the 2-process run must match the single-process 8-device run to within
+    # float reassociation of the cross-process gradient psum (the Gloo tree
+    # order differs from the single-process XLA reduction). Beyond one step,
+    # Adam's eps-normalized updates amplify that ~1e-7 seed chaotically
+    # (measured: 4e-4 by step 2, 2.3% by step 3), so later steps get a
+    # drift bound, not an equality.
+    np.testing.assert_allclose(
+        p0["step_losses"][0], s["step_losses"][0], rtol=1e-5, atol=1e-6
+    )
+    # Step-1 params: Adam's first update is ~lr*sign(g) elementwise, so a
+    # param whose gradient sits at the reassociation noise floor can flip
+    # sign across topologies and land exactly 2*lr away. A correct global
+    # batch keeps those flips rare and bounded (measured: ~0.9% of elements,
+    # max |diff| = 2*lr); a wrong batch assembly moves most gradients, so
+    # both bounds below blow up.
+    diff = np.abs(p0["step1_params"] - s["step1_params"])
+    LR = 1e-3  # distributed_worker.py phase-A task lr
+    assert diff.max() <= 2.05 * LR, f"step-1 param diff {diff.max()}"
+    assert np.mean(diff > 1e-5) < 0.05, (
+        f"{np.mean(diff > 1e-5):.1%} of params moved differently at step 1"
+    )
+    # Post-update losses: step 2 evaluates the updated params functionally —
+    # noise-floor sign flips barely move the loss (measured 4e-4 relative by
+    # step 2, percent-level by step 3 as Adam amplifies chaotically).
+    np.testing.assert_allclose(
+        p0["step_losses"][1], s["step_losses"][1], rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        p0["step_losses"], s["step_losses"], rtol=0.05
+    )
+
+    # --- SPMD invariant: both processes hold identical replicated state,
+    # after raw steps and after a full Trainer.fit through their disjoint
+    # data shards (collectives, not luck, keep them in sync).
+    np.testing.assert_array_equal(p0["step_params"], p1["step_params"])
+    np.testing.assert_array_equal(p0["fit_params"], p1["fit_params"])
+    assert not np.array_equal(p0["step_params"], p0["fit_params"])
+
+    # --- Per-host shards: disjoint, equalized, and within the global split.
+    tr0, tr1 = set(p0["train_shard"].tolist()), set(p1["train_shard"].tolist())
+    assert tr0.isdisjoint(tr1)
+    assert len(p0["train_shard"]) == len(p1["train_shard"])
+    assert (tr0 | tr1) <= set(s["train_shard"].tolist())
+
+    # --- End-to-end fit sanity + loose parity with the single-process run
+    # (exact fit parity is impossible: each host shuffles its own shard, so
+    # per-element t draws differ; the learning signal must still agree).
+    hist_s = json.loads(str(s["history"]))
+    hist_p = json.loads(str(p0["history"]))
+    assert len(hist_p) == 2
+    for h in (hist_s, hist_p):
+        assert all(np.isfinite(e["train_loss"]) for e in h)
+        assert h[-1]["train_loss"] < h[0]["train_loss"]
+    assert abs(hist_p[-1]["train_loss"] - hist_s[-1]["train_loss"]) < 0.5 * abs(
+        hist_s[-1]["train_loss"]
+    )

@@ -138,6 +138,38 @@ def test_topk_restart_via_trainer(data_dir, tmp_path):
     assert len(val_files) <= 2
 
 
+def test_topk_no_duplicate_ledger_entries_on_resave(tmp_path):
+    """A resumed run that re-earns an identical (epoch, value) name rewrites
+    the same path; the ledger must hold ONE tuple for it, so a later eviction
+    can never delete a directory another tuple (possibly best_path) still
+    references."""
+    from shapegen_tpu.train.checkpoints import TopKCheckpointer
+
+    d = str(tmp_path / "ck")
+    state = {"w": np.ones((2,), np.float32)}
+
+    ck1 = TopKCheckpointer(d, "val_loss", "m", save_top_k=3)
+    best = ck1.maybe_save(state, 0, 0.30)
+    assert best is not None
+
+    # "Crash" + resume: the rehydrated checkpointer re-earns the exact same
+    # (epoch, value) -> same filename -> same path.
+    ck2 = TopKCheckpointer(d, "val_loss", "m", save_top_k=3)
+    resaved = ck2.maybe_save(state, 0, 0.30)
+    assert resaved == best
+    assert len(ck2._kept) == 1  # deduped, not double-entered
+
+    # Fill to capacity, then force evictions past where a duplicate tuple
+    # would have been popped; best_path must stay on disk throughout.
+    ck2.maybe_save(state, 1, 0.50)
+    ck2.maybe_save(state, 2, 0.40)
+    ck2.maybe_save(state, 3, 0.35)  # evicts 0.50
+    ck2.maybe_save(state, 4, 0.32)  # evicts 0.40
+    assert ck2.best_path == best
+    assert os.path.isdir(best)
+    assert len(ck2._kept) == 3
+
+
 def test_save_top_k_minus_one_keeps_all(tmp_path):
     """Lightning save_top_k=-1 semantics: every checkpoint is kept."""
     from shapegen_tpu.train.checkpoints import TopKCheckpointer
