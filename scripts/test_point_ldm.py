@@ -21,7 +21,11 @@ import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
 from shapegen_tpu.data import PointCloudDataDirectoryModule  # noqa: E402
-from shapegen_tpu.metrics import compute_metrics  # noqa: E402
+from shapegen_tpu.metrics import (  # noqa: E402
+    chamfer_distance,
+    sinkhorn_emd,
+    voxel_bce_recon_loss,
+)
 from shapegen_tpu.ops import voxel_to_points_padded  # noqa: E402
 from shapegen_tpu.train.factory import load_task_checkpoint  # noqa: E402
 from shapegen_tpu.utils import (  # noqa: E402
@@ -71,20 +75,46 @@ def test_vae_reconstruction(task, state, model_name, data_module, logger,
     originals = voxels_to_list(original_voxels, threshold)
     recons = voxels_to_list(recon_voxels, threshold)
 
-    cds, emds, recon_losses = [], [], []
+    # Device/host overlap on ragged pairs (SURVEY.md hard part #4): the
+    # clouds here have per-pair lengths (voxel occupancy varies), so instead
+    # of one batched program, ALL per-pair device metrics are dispatched
+    # asynchronously up front; the O(n^3) host Hungarian then runs while the
+    # device drains its queue, and the final float() fetches collect results.
+    from shapegen_tpu.metrics.metrics import _hungarian_pairs_host
+
+    device_work = []
     for orig, recon in zip(originals, recons):
         if len(orig) == 0 or len(recon) == 0:
+            device_work.append(None)
+            continue
+        o, r = jnp.asarray(orig), jnp.asarray(recon)
+        cd = chamfer_distance(o, r)
+        bce = voxel_bce_recon_loss(o, r)
+        emd_dev = sinkhorn_emd(o, r) if use_gpu_emd else None
+        device_work.append((o, r, cd, bce, emd_dev))
+
+    cds, emds, recon_losses = [], [], []
+    for work in device_work:
+        if work is None:
             cds.append(float("nan"))
             emds.append(float("nan"))
             recon_losses.append(float("nan"))
             continue
-        cd, emd, recon_loss = compute_metrics(
-            jnp.asarray(orig), jnp.asarray(recon),
-            use_approximate_gpu_emd=use_gpu_emd,
-        )
+        o, r, cd, bce, emd_dev = work
+        if use_gpu_emd:
+            emd = float(emd_dev)
+        else:
+            # Inputs are already materialized; this does not wait on the
+            # queued device metrics.
+            emd = float(
+                _hungarian_pairs_host(
+                    np.asarray(jax.device_get(o))[None],
+                    np.asarray(jax.device_get(r))[None],
+                )[0]
+            )
         cds.append(float(cd))
-        emds.append(float(emd))
-        recon_losses.append(float(recon_loss))
+        emds.append(emd)
+        recon_losses.append(float(bce))
 
     logger.info(f"Average Chamfer Distance: {np.nanmean(cds):.3f}")
     logger.info(f"Average Earth Mover's Distance: {np.nanmean(emds):.3f}")

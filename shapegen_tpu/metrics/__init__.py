@@ -7,6 +7,7 @@ from shapegen_tpu.metrics.metrics import (  # noqa: F401
     voxel_bce_recon_loss,
     voxel_focal_loss,
     compute_metrics,
+    compute_metrics_batched,
     coverage_and_mmd,
     one_nna,
 )

@@ -25,6 +25,7 @@ matrix.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -185,7 +186,10 @@ def pairwise_chamfer_matrix(
 
         n_blocks = -(-G // block)
         pad = n_blocks * block - G
-        gen_p = jnp.concatenate([gen, jnp.zeros((pad,) + gen.shape[1:])]) if pad else gen
+        gen_p = (
+            jnp.concatenate([gen, jnp.zeros((pad,) + gen.shape[1:], gen.dtype)])
+            if pad else gen
+        )
         gen_blocks = gen_p.reshape(n_blocks, block, *gen.shape[1:])
 
         def body(_, gblk):
@@ -246,6 +250,28 @@ def sinkhorn_emd(
     The early-exit Python break becomes a lax.while_loop condition, so
     convergence still short-circuits on device without host syncs.
     """
+    return (
+        jnp.mean(_sinkhorn_emd_pairs(x, y, epsilon, thresh, max_iter))
+        * scaling_factor
+    )
+
+
+def _sinkhorn_emd_pairs(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    epsilon: float = 1e-2,
+    thresh: float = 1e-5,
+    max_iter: int = 100,
+    cost_norm: str = "global",
+) -> jnp.ndarray:
+    """Per-pair Sinkhorn EMD, (B,) output.
+
+    ``cost_norm='global'`` divides the cost by the max over the whole batch
+    (metrics.py:123 — what the reference computes for whatever batch it is
+    handed); ``'per_pair'`` uses each pair's own max, which is what a
+    sequential pair-by-pair eval loop effectively does and what the batched
+    eval path must use to reproduce it.
+    """
     x = _as_batched(x)
     y = _as_batched(y)
     x = normalize_to_cube(x)
@@ -254,7 +280,10 @@ def sinkhorn_emd(
     m = y.shape[1]
 
     C = jnp.sqrt(square_distance(x, y) + 1e-12)
-    C = C / jnp.max(C)  # global max, as in metrics.py:123
+    if cost_norm == "per_pair":
+        C = C / jnp.max(C, axis=(1, 2), keepdims=True)
+    else:
+        C = C / jnp.max(C)  # global max, as in metrics.py:123
     lam = 1.0 / epsilon
 
     log_mu = jnp.log(jnp.full((B, n, 1), 1.0 / n) + 1e-10)
@@ -293,8 +322,7 @@ def sinkhorn_emd(
     )
 
     P = jnp.exp(-lam * C + alpha + jnp.swapaxes(beta, 1, 2))
-    emd = jnp.sum(P * C, axis=(1, 2))
-    return jnp.mean(emd) * scaling_factor
+    return jnp.sum(P * C, axis=(1, 2))
 
 
 def voxel_bce_recon_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -321,6 +349,93 @@ def compute_metrics(
         avg_emd = earth_mover_distance_hungarian(generated, reference)
     recon_loss = voxel_bce_recon_loss(generated, reference)
     return avg_cd, avg_emd, recon_loss
+
+
+def _per_pair_chamfer_scaled(gen, ref, use_pallas, scaling_factor=1e3):
+    """Per-pair CD (x1e3) on unnormalized inputs, (B,) output."""
+    gen = normalize_to_cube(gen)
+    ref = normalize_to_cube(ref)
+    if use_pallas:
+        from shapegen_tpu.ops.pallas_kernels import min_dists_pallas
+
+        d_xy, d_yx = min_dists_pallas(gen, ref)
+        cd = jnp.mean(jnp.sqrt(d_xy), axis=1) + jnp.mean(jnp.sqrt(d_yx), axis=1)
+        return cd * scaling_factor
+    return _per_pair_chamfer(gen, ref) * scaling_factor
+
+
+def _per_pair_voxel_bce(gen, ref):
+    from shapegen_tpu.models.vae3d import binary_cross_entropy
+
+    bce = binary_cross_entropy(voxelize(gen), voxelize(ref), reduction="none")
+    return jnp.mean(bce, axis=tuple(range(1, bce.ndim)))
+
+
+@partial(jax.jit, static_argnames=("use_sinkhorn", "use_pallas"))
+def _pair_metrics_device(gen, ref, use_sinkhorn: bool, use_pallas: bool):
+    out = {
+        "cd": _per_pair_chamfer_scaled(gen, ref, use_pallas),
+        "recon": _per_pair_voxel_bce(gen, ref),
+    }
+    if use_sinkhorn:
+        out["emd"] = _sinkhorn_emd_pairs(gen, ref, cost_norm="per_pair")
+    return out
+
+
+def _hungarian_pairs_host(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Exact per-pair Hungarian EMD, pure host (numpy+scipy — deliberately no
+    device dispatch, so it can run WHILE a device program computes)."""
+    from scipy.optimize import linear_sum_assignment
+
+    def cube(p):
+        center = (p.max(axis=-2, keepdims=True) + p.min(axis=-2, keepdims=True)) / 2.0
+        p = p - center
+        return p / np.abs(p).max(axis=(-2, -1), keepdims=True)
+
+    x = cube(np.asarray(x, np.float32))
+    y = cube(np.asarray(y, np.float32))
+    emds = []
+    for x_pc, y_pc in zip(x, y):
+        d = np.linalg.norm(x_pc[:, None] - y_pc[None, :], axis=-1)
+        row, col = linear_sum_assignment(d)
+        emds.append(d[row, col].sum() / max(x_pc.shape[0], y_pc.shape[0]))
+    return np.asarray(emds)
+
+
+def compute_metrics_batched(
+    generated: jnp.ndarray,
+    reference: jnp.ndarray,
+    use_approximate_gpu_emd: bool = False,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All-pairs eval metrics with device/host overlap (SURVEY hard part #4).
+
+    ONE jitted program computes per-pair CD + voxel-BCE (+ Sinkhorn EMD when
+    requested) for the whole batch and is dispatched asynchronously; the
+    exact host Hungarian EMD (O(n^3) scipy, the expensive part) then runs
+    pair-by-pair on the host WHILE the device work completes. Per-pair values
+    match a sequential ``compute_metrics`` loop
+    (/root/reference/test_point_ddpm.py:85-97, metrics.py:160-183).
+
+    Returns (cds, emds, recon_losses), each a (B,) numpy array.
+    """
+    gen = _as_batched(jnp.asarray(generated, jnp.float32))
+    ref = _as_batched(jnp.asarray(reference, jnp.float32))
+    if use_pallas is None:
+        use_pallas = pallas_available()
+    out = _pair_metrics_device(gen, ref, bool(use_approximate_gpu_emd), bool(use_pallas))
+    if use_approximate_gpu_emd:
+        emds = np.asarray(jax.device_get(out["emd"]))
+    else:
+        # Inputs are already materialized, so fetching them does not wait on
+        # the batched program dispatched above — the Hungarian loop below
+        # overlaps with it.
+        emds = _hungarian_pairs_host(
+            np.asarray(jax.device_get(gen)), np.asarray(jax.device_get(ref))
+        )
+    cds = np.asarray(jax.device_get(out["cd"]))
+    recons = np.asarray(jax.device_get(out["recon"]))
+    return cds, emds, recons
 
 
 def voxel_focal_loss(

@@ -144,6 +144,34 @@ def test_compute_metrics_triple(rng):
     assert float(cd2) == float(cd)
 
 
+def test_compute_metrics_batched_matches_sequential(rng):
+    """The batched/overlapped eval path (one jitted device program + host
+    Hungarian overlap) returns the same per-pair values as the reference's
+    sequential pair-by-pair compute_metrics loop (test_point_ddpm.py:85-97)."""
+    x = jnp.asarray(rng.standard_normal((4, 48, 3)).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((4, 48, 3)) * 0.8).astype(np.float32))
+
+    cds, emds, recons = metrics.compute_metrics_batched(x, y)
+    assert cds.shape == emds.shape == recons.shape == (4,)
+    for i in range(4):
+        cd, emd, rec = metrics.compute_metrics(x[i], y[i])
+        np.testing.assert_allclose(cds[i], float(cd), rtol=1e-5)
+        np.testing.assert_allclose(emds[i], float(emd), rtol=1e-5)
+        np.testing.assert_allclose(recons[i], float(rec), rtol=1e-5)
+
+    # Sinkhorn variant: the batched call normalizes costs per pair, matching
+    # what sequential B=1 calls compute; batched convergence may run a few
+    # extra sub-threshold iterations, hence the looser bound.
+    _, emds2, _ = metrics.compute_metrics_batched(
+        x, y, use_approximate_gpu_emd=True
+    )
+    for i in range(4):
+        _, emd, _ = metrics.compute_metrics(
+            x[i], y[i], use_approximate_gpu_emd=True
+        )
+        np.testing.assert_allclose(emds2[i], float(emd), rtol=1e-3, atol=1e-5)
+
+
 def test_focal_loss_matches_reference_formula(rng):
     pred = jnp.asarray(rng.random((2, 8, 8, 8)).astype(np.float32))
     target = jnp.asarray((rng.random((2, 8, 8, 8)) > 0.7).astype(np.float32))
