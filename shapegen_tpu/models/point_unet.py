@@ -68,7 +68,8 @@ class TimeMLP(nn.Module):
 
 
 class PointUNetLarge(nn.Module):
-    """The production point-DDPM denoiser (networks.py:724-838). ~30M params."""
+    """The production point-DDPM denoiser (networks.py:724-838). 21.5M params
+    at the entry-point config (dim=256, time_dim=256; see BASELINE.md)."""
 
     dim: int = 256
     time_dim: int = 256

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from shapegen_tpu import models
 from shapegen_tpu.train import tasks
-from shapegen_tpu.train.checkpoints import load_checkpoint
+from shapegen_tpu.train.checkpoints import load_checkpoint, load_checkpoint_meta
 from shapegen_tpu.train.state import TrainState
 
 
@@ -31,13 +31,17 @@ def task_from_hparams(
     max_epochs: int = 500,
 ):
     kind = hparams["task"]
+    # Every task records its model's compute dtype in hparams so a resumed
+    # run (or --skip-vae-training + --vae-checkpoint) keeps the bf16/f32
+    # choice it was trained with instead of silently reverting to f32.
+    cdtype = jnp.dtype(hparams.get("compute_dtype", "float32"))
     if kind == "point_diffusion":
         num_classes = hparams.get("num_classes")
         model = models.PointUNetLarge(
             dim=hparams.get("dim", 256),
             time_dim=hparams.get("time_dim", 256),
             num_classes=num_classes,
-            dtype=jnp.dtype(hparams.get("compute_dtype", "float32")),
+            dtype=cdtype,
         )
         return tasks.PointDiffusionTask(
             model,
@@ -57,6 +61,7 @@ def task_from_hparams(
             latent_dim=hparams.get("latent_dim", 256),
             dim=hparams.get("dim", 512),
             time_dim=hparams.get("time_dim", 256),
+            dtype=cdtype,
         )
         return tasks.LatentDiffusionTask(
             model, vae_model, vae_variables,
@@ -67,7 +72,9 @@ def task_from_hparams(
             max_epochs=max_epochs,
         )
     if kind == "vae3d_large":
-        model = models.VAE3DLarge(latent_dim=hparams.get("latent_dim", 256))
+        model = models.VAE3DLarge(
+            latent_dim=hparams.get("latent_dim", 256), dtype=cdtype
+        )
         return tasks.VAE3DLargeTask(
             model,
             lr=hparams.get("lr", 1e-4),
@@ -77,7 +84,9 @@ def task_from_hparams(
             kl_annealing_epochs=hparams.get("kl_annealing_epochs", 100),
         )
     if kind == "vae3d":
-        model = models.VAE3D(latent_dim=hparams.get("latent_dim", 256))
+        model = models.VAE3D(
+            latent_dim=hparams.get("latent_dim", 256), dtype=cdtype
+        )
         return tasks.VAE3DTask(
             model, beta=hparams.get("beta", 1e-1), lr=hparams.get("lr", 1e-3)
         )
@@ -85,6 +94,7 @@ def task_from_hparams(
         model = models.SimplePointNetVAE(
             num_points=hparams.get("num_points", 2048),
             latent_dim=hparams.get("latent_dim", 256),
+            dtype=cdtype,
         )
         return tasks.SimplePointNetVAETask(
             model, lr=hparams.get("lr", 1e-4), beta=hparams.get("beta", 1e-1),
@@ -94,6 +104,7 @@ def task_from_hparams(
         model = models.PointNetVAE(
             num_points=hparams.get("num_points", 2048),
             latent_dim=hparams.get("latent_dim", 256),
+            dtype=cdtype,
         )
         return tasks.PointNetVAETask(
             model, lr=hparams.get("lr", 1e-4), beta=hparams.get("beta", 1e-1),
@@ -116,7 +127,7 @@ def load_task_checkpoint(
     path: str, vae_model=None, vae_variables=None, max_epochs: int = 500
 ) -> Tuple[Any, TrainState, Dict]:
     """Restore (task, state, metadata) from a checkpoint directory."""
-    _, meta = load_checkpoint(path)  # metadata first, to build the target
+    meta = load_checkpoint_meta(path)  # sidecar only — no throwaway restore
     task = task_from_hparams(
         meta.get("hparams", {}), vae_model, vae_variables, max_epochs
     )

@@ -281,6 +281,7 @@ class LatentDiffusionTask:
             "lr": lr,
             "noise_schedule": noise_schedule,
             "is_voxel_based": is_voxel_based,
+            "compute_dtype": jnp.dtype(model.dtype).name,
         }
 
     def init_state(self, rng, sample_batch) -> TrainState:
@@ -380,6 +381,7 @@ class VAE3DLargeTask:
             "kl_warmup_epochs": kl_warmup_epochs,
             "kl_warmup_max_beta": kl_warmup_max_beta,
             "kl_annealing_epochs": kl_annealing_epochs,
+            "compute_dtype": jnp.dtype(model.dtype).name,
         }
 
     def init_state(self, rng, sample_batch) -> TrainState:
@@ -466,7 +468,8 @@ class VAE3DTask:
         self.beta = beta
         self.lr = lr
         self.hparams = {
-            "task": "vae3d", "latent_dim": model.latent_dim, "beta": beta, "lr": lr
+            "task": "vae3d", "latent_dim": model.latent_dim, "beta": beta,
+            "lr": lr, "compute_dtype": jnp.dtype(model.dtype).name,
         }
 
     def init_state(self, rng, sample_batch) -> TrainState:
@@ -553,6 +556,7 @@ class SimplePointNetVAETask:
             "latent_dim": model.latent_dim,
             "lr": lr,
             "beta": beta,
+            "compute_dtype": jnp.dtype(model.dtype).name,
         }
 
     def init_state(self, rng, sample_batch) -> TrainState:
@@ -642,6 +646,7 @@ class PointNetVAETask:
             "latent_dim": model.latent_dim,
             "lr": lr,
             "beta": beta,
+            "compute_dtype": jnp.dtype(model.dtype).name,
         }
 
     def init_state(self, rng, sample_batch) -> TrainState:

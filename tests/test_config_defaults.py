@@ -76,3 +76,37 @@ def test_point_diffusion_hparams_roundtrip_extensions():
     assert rebuilt.lr_schedule == "none"
     assert rebuilt.make_scheduler() is None
     assert rebuilt.model.dtype == jnp.bfloat16
+
+
+def test_ldm_tasks_compute_dtype_roundtrip():
+    """The LDM-pipeline tasks (VAE3D/VAE3DLarge/SimpleLatentUNet and the
+    point VAEs) record compute_dtype in hparams and the factory honors it,
+    so --resume / --skip-vae-training + --vae-checkpoint keep bf16 compute
+    instead of silently reverting to f32."""
+    import jax.numpy as jnp
+
+    from shapegen_tpu import models
+    from shapegen_tpu.train import tasks
+    from shapegen_tpu.train.factory import task_from_hparams
+
+    vae = models.VAE3DLarge(latent_dim=32, dtype=jnp.bfloat16)
+    t = tasks.VAE3DLargeTask(vae)
+    assert task_from_hparams(t.hparams).model.dtype == jnp.bfloat16
+
+    t = tasks.VAE3DTask(models.VAE3D(latent_dim=32, dtype=jnp.bfloat16))
+    assert task_from_hparams(t.hparams).model.dtype == jnp.bfloat16
+
+    unet = models.SimpleLatentUNet(latent_dim=32, dim=64, dtype=jnp.bfloat16)
+    t = tasks.LatentDiffusionTask(unet, vae, {"params": {}}, latent_dim=32)
+    rebuilt = task_from_hparams(t.hparams, vae_model=vae, vae_variables={"params": {}})
+    assert rebuilt.model.dtype == jnp.bfloat16
+
+    t = tasks.SimplePointNetVAETask(
+        models.SimplePointNetVAE(num_points=64, latent_dim=32, dtype=jnp.bfloat16)
+    )
+    assert task_from_hparams(t.hparams).model.dtype == jnp.bfloat16
+
+    t = tasks.PointNetVAETask(
+        models.PointNetVAE(num_points=64, latent_dim=32, dtype=jnp.bfloat16)
+    )
+    assert task_from_hparams(t.hparams).model.dtype == jnp.bfloat16
