@@ -244,6 +244,130 @@ def test_pointunet_l1_adamw_step_matches_torch(rng, x64):
     )
 
 
+def test_pointunet_lockstep_trajectory_matches_torch(rng, x64):
+    """15 CONSECUTIVE f64 train steps vs torch with shared data: Adam moments
+    and BatchNorm running stats evolve on both sides, and the per-step losses
+    must stay in agreement. Any momentum/decay/BN-momentum placement error
+    compounds exponentially over a trajectory and would blow far past these
+    bounds within a few steps; what remains is cancellation noise seeded by
+    the flax model's f32 output head (amplified ~per step through Adam's
+    sign(g)-like first-step behavior on noise-floor gradients).
+    (Reference: diffusion.py:56-86 train step, networks.py exact layers.)
+    """
+    torch.manual_seed(24)
+    oracle = PointUNetOracle(dim=DIM, time_dim=DIM).double()
+    oracle.train()
+
+    B, N, STEPS = 4, 64, 15
+    params, stats = pointunet_trees(oracle, get_weights64)
+    opt_t = torch.optim.AdamW(oracle.parameters(), lr=1e-4, weight_decay=1e-5)
+
+    model = models.PointUNetLarge(dim=DIM, time_dim=DIM, dtype=jnp.float64)
+    tx = make_adamw(1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def jax_step(params, stats, opt_state, x_t, t, eps):
+        def loss_fn(p):
+            pred, mutated = model.apply(
+                {"params": p, "batch_stats": stats},
+                x_t, t, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean(jnp.abs(eps - pred)), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        upd, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), new_stats, opt_state2, loss
+
+    losses_j, losses_t = [], []
+    for i in range(STEPS):
+        x0 = rng.standard_normal((B, N, 3))
+        t = rng.random(B)
+        eps = rng.standard_normal((B, N, 3))
+        nr, sr = _cosine_rates(t)
+        x_t = sr[:, None, None] * x0 + nr[:, None, None] * eps
+
+        pred_t = oracle(torch.tensor(x_t), torch.tensor(t))
+        loss_t = torch.nn.functional.l1_loss(torch.tensor(eps), pred_t)
+        opt_t.zero_grad()
+        loss_t.backward()
+        opt_t.step()
+        losses_t.append(float(loss_t.detach()))
+
+        params, stats, opt_state, loss_j = jax_step(
+            params, stats, opt_state,
+            jnp.asarray(x_t), jnp.asarray(t), jnp.asarray(eps),
+        )
+        losses_j.append(float(loss_j))
+
+    losses_j, losses_t = np.asarray(losses_j), np.asarray(losses_t)
+    # Per-step agreement with a noise budget growing along the trajectory:
+    # measured divergence stays ~1e-6 relative at step 15; a factor-1000
+    # margin still catches any real semantic difference (which produces
+    # percent-level divergence within ~3 steps).
+    for i in range(STEPS):
+        np.testing.assert_allclose(
+            losses_j[i], losses_t[i], rtol=1e-3, err_msg=f"step {i}"
+        )
+    # Training must actually have progressed (the trajectory is not static).
+    assert not np.allclose(losses_t[0], losses_t[-1], rtol=1e-3)
+
+    # Final BN running stats still agree after 15 momentum updates.
+    got = stats["PointNetLayer_0"]["DenseBN_0"]["BatchNorm_0"]
+    np.testing.assert_allclose(
+        np.asarray(got["mean"]), oracle.enc1[1].running_mean.numpy(),
+        rtol=1e-4, atol=1e-7,
+    )
+
+
+def test_plateau_scheduler_sequence_matches_torch():
+    """ReduceLROnPlateau stepped over a recorded loss sequence produces the
+    exact LR sequence torch produces (rel-threshold mode, patience handling,
+    post-reduction reset) — diffusion.py:56-68 semantics."""
+    from shapegen_tpu.train.schedulers import ReduceLROnPlateau
+
+    losses = [
+        1.0, 0.9, 0.85, 0.849, 0.848, 0.848, 0.848, 0.848, 0.848, 0.848,
+        0.847, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.51, 0.49, 0.489,
+        0.4888, 0.48878, 0.48878, 0.48878, 0.48878, 0.48878, 0.48878,
+    ]
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=1e-4)
+    sched_t = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, factor=0.5, patience=5
+    )
+    sched_j = ReduceLROnPlateau(1e-4, factor=0.5, patience=5)
+
+    lrs_t, lrs_j = [], []
+    for v in losses:
+        sched_t.step(v)
+        lrs_t.append(opt.param_groups[0]["lr"])
+        lrs_j.append(sched_j.step(v))
+    np.testing.assert_allclose(lrs_j, lrs_t, rtol=0, atol=0)
+    assert lrs_t[-1] < 1e-4  # the sequence actually exercises reductions
+
+
+def test_cosine_scheduler_sequence_matches_torch():
+    """CosineAnnealingLR(T_max, eta_min=1e-6) epoch sequence parity
+    (diffusion.py:410-423)."""
+    from shapegen_tpu.train.schedulers import CosineAnnealingLR
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=1e-4)
+    sched_t = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=50, eta_min=1e-6
+    )
+    sched_j = CosineAnnealingLR(1e-4, t_max=50, eta_min=1e-6)
+    lrs_t, lrs_j = [], []
+    for _ in range(50):
+        sched_t.step()
+        lrs_t.append(opt.param_groups[0]["lr"])
+        lrs_j.append(sched_j.step())
+    np.testing.assert_allclose(lrs_j, lrs_t, rtol=1e-12)
+
+
 def test_vae3d_large_bce_kl_adam_step_matches_torch(rng, x64):
     torch.manual_seed(24)
     oracle = VAE3DOracle(latent_dim=LATENT).double()
