@@ -1,4 +1,8 @@
-"""AOT sampler export roundtrip."""
+"""AOT sampler export roundtrip + consumer-process proof."""
+
+import os
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -6,6 +10,8 @@ import numpy as np
 
 from shapegen_tpu import models, serving
 from shapegen_tpu.train import tasks
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_export_load_roundtrip():
@@ -26,6 +32,39 @@ def test_export_load_roundtrip():
     # Matches the live sampler up to compilation-order float noise.
     live = task.sample(state, jax.random.PRNGKey(7), 2, 16, num_steps=3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(live), rtol=1e-4)
+
+
+def test_export_runs_in_consumer_process_without_model_code(tmp_path):
+    """The point of StableHLO export: a consumer with NO Python model code.
+    A subprocess that imports only shapegen_tpu.serving (the script asserts
+    no shapegen_tpu.models / .train / flax modules get loaded) deserializes
+    the artifact, runs it, and must reproduce this process's output of the
+    same artifact bitwise (same program, same platform, same key)."""
+    model = models.SimplePointUNet(dim=32, time_dim=32)
+    task = tasks.PointDiffusionTask(model, num_points=16)
+    state = task.init_state(jax.random.PRNGKey(0), jnp.zeros((2, 16, 3)))
+    blob = serving.export_sampler(
+        task, state, num_samples=2, num_points=16, num_steps=3
+    )
+    blob_path = tmp_path / "sampler.stablehlo"
+    blob_path.write_bytes(blob)
+
+    here = np.asarray(serving.load_sampler(blob)(serving.key_data(7)))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out_path = tmp_path / "consumer_out.npy"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "serving_consumer.py"),
+         str(blob_path), "7", str(out_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "consumer OK" in res.stdout
+
+    theirs = np.load(out_path)
+    np.testing.assert_array_equal(here, theirs)
 
 
 def test_export_conditional_roundtrip():
