@@ -23,6 +23,7 @@ provenance in cpu_baseline.json. Target from BASELINE.json: >=10x.
 
 import json
 import os
+import platform
 import subprocess
 import sys
 import time
@@ -33,6 +34,7 @@ NUM_SAMPLES = 16
 NUM_POINTS = 2048
 NUM_STEPS = 1000
 CPU_STEPS = 4  # extrapolated to NUM_STEPS
+TORCH_BASELINE_STEPS = 20  # measured steps for the torch CPU denominator
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "cpu_baseline.json")
 
 
@@ -98,7 +100,8 @@ def _run_json(cmd, env=None):
 def _measure_torch_reference():
     """The reference path: plain-torch model + Python DDIM loop."""
     return _run_json(
-        [sys.executable, os.path.join("benchmarks", "torch_reference.py")]
+        [sys.executable, os.path.join("benchmarks", "torch_reference.py"),
+         "--measure-steps", str(TORCH_BASELINE_STEPS)]
     )
 
 
@@ -118,13 +121,32 @@ def _measure_framework_cpu():
     return _run_json([sys.executable, "-c", code], env=env)
 
 
+def _host_provenance():
+    """Cache key: a measurement is only valid on the host/stack it was made
+    on. Uses importlib.metadata (no torch import in the TPU process)."""
+    from importlib.metadata import version
+
+    return {
+        "torch_version": version("torch"),
+        "platform": platform.platform(),
+        "cpu_count": os.cpu_count(),
+    }
+
+
 def cpu_baseline():
-    """Cached CPU baselines; (re)measures if the cache is missing or from
-    the pre-torch-baseline era."""
+    """Cached CPU baselines, keyed on (torch version, platform, cpu_count);
+    auto-(re)measures on provenance mismatch, missing cache, or a
+    measurement shorter than TORCH_BASELINE_STEPS steps."""
+    want = _host_provenance()
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             data = json.load(f)
-        if "torch_cpu_samples_per_sec" in data:
+        prov = data.get("provenance", {})
+        if (
+            "torch_cpu_samples_per_sec" in data
+            and prov.get("measured_steps", 0) >= TORCH_BASELINE_STEPS
+            and all(prov.get(k) == v for k, v in want.items())
+        ):
             return data
     data = _measure_torch_reference()
     data.update(_measure_framework_cpu())

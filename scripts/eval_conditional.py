@@ -10,7 +10,11 @@ with classifier-free guidance, and reports:
     the row minimum when the model has learned the class conditioning);
   * per-class MMD-CD (mean over class references of the min CD to any
     same-class generated cloud) for every (gen-class, ref-class) pair;
-  * per-class COV-CD against the own-class reference set.
+  * per-class COV-CD and 1-NNA against the own-class reference set.
+
+``--guidance`` takes a LIST of scales and the whole eval repeats per scale;
+guidance 0.0 is the pure-conditional ablation (no unconditional pass mixed
+in) — comparing it against guidance>0 rows shows what CFG buys.
 
 All pairwise Chamfer matrices run through metrics.pairwise_chamfer_matrix —
 on TPU that is the streaming Pallas kernel path.
@@ -41,7 +45,7 @@ def parse_args():
                    default=["chair", "airplane", "table"])
     p.add_argument("--num-per-class", type=int, default=8)
     p.add_argument("--num-steps", type=int, default=1000)
-    p.add_argument("--guidance", type=float, default=2.0)
+    p.add_argument("--guidance", type=float, nargs="+", default=[0.0, 2.0, 4.0])
     p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm"])
     p.add_argument("--max-refs", type=int, default=64,
                    help="cap on reference clouds per class")
@@ -135,35 +139,7 @@ def main():
           f"wrong={probe_losses['wrong']:.4f} "
           f"(conditioning used: {probe_losses['wrong'] > probe_losses['true']})")
 
-    key = jax.random.PRNGKey(args.seed)
-    gens = {}
-    for i, cat in enumerate(args.categories):
-        lab = np.full((args.num_per_class,), labels[cat], np.int32)
-        out = task.sample_conditional(
-            state, jax.random.fold_in(key, i), lab,
-            num_steps=args.num_steps, guidance_scale=args.guidance,
-            sampler=args.sampler,
-        )
-        gens[cat] = np.asarray(jax.device_get(out))
-        print(f"[gen ] {cat}: {gens[cat].shape}")
-
     cats = args.categories
-    mean_cd = np.zeros((len(cats), len(cats)))
-    mmd_cd = np.zeros((len(cats), len(cats)))
-    cov_own = {}
-    for i, gc in enumerate(cats):
-        for j, rc in enumerate(cats):
-            d = np.asarray(
-                jax.device_get(
-                    metrics.pairwise_chamfer_matrix(gens[gc], refs[rc])
-                )
-            )
-            mean_cd[i, j] = float(d.mean())
-            mmd_cd[i, j] = float(d.min(axis=0).mean())
-            if i == j:
-                covered = np.zeros(d.shape[1], bool)
-                covered[np.argmin(d, axis=1)] = True
-                cov_own[gc] = float(covered.mean())
 
     def table(m, title):
         lines = [f"\n{title} (rows: generated class, cols: reference class)",
@@ -177,16 +153,62 @@ def main():
             lines.append(f"| {gc} | " + " | ".join(cells) + " |")
         return "\n".join(lines)
 
-    print(table(mean_cd, "Mean pairwise CD (cube-normalized, unscaled)"))
-    print(table(mmd_cd, "MMD-CD (mean over refs of min CD to a gen)"))
-    print("\nCOV-CD own-class:",
-          {c: round(v, 3) for c, v in cov_own.items()})
-    sep = [bool(mean_cd[i, i] == mean_cd[i].min()) for i in range(len(cats))]
-    print("classes where own-class mean CD is row-min:",
-          sum(sep), "/", len(cats))
-    sep_mmd = [bool(mmd_cd[i, i] == mmd_cd[i].min()) for i in range(len(cats))]
-    print("classes where own-class MMD-CD is row-min:",
-          sum(sep_mmd), "/", len(cats))
+    key = jax.random.PRNGKey(args.seed)
+    results = []
+    for g_idx, guidance in enumerate(args.guidance):
+        print(f"\n================ guidance {guidance} ================")
+        gens = {}
+        for i, cat in enumerate(cats):
+            lab = np.full((args.num_per_class,), labels[cat], np.int32)
+            out = task.sample_conditional(
+                state, jax.random.fold_in(key, 1000 * g_idx + i), lab,
+                num_steps=args.num_steps, guidance_scale=guidance,
+                sampler=args.sampler,
+            )
+            gens[cat] = np.asarray(jax.device_get(out))
+            print(f"[gen g={guidance}] {cat}: {gens[cat].shape}")
+
+        mean_cd = np.zeros((len(cats), len(cats)))
+        mmd_cd = np.zeros((len(cats), len(cats)))
+        cov_own, nna_own = {}, {}
+        for i, gc in enumerate(cats):
+            for j, rc in enumerate(cats):
+                d = np.asarray(
+                    jax.device_get(
+                        metrics.pairwise_chamfer_matrix(gens[gc], refs[rc])
+                    )
+                )
+                mean_cd[i, j] = float(d.mean())
+                mmd_cd[i, j] = float(d.min(axis=0).mean())
+                if i == j:
+                    covered = np.zeros(d.shape[1], bool)
+                    covered[np.argmin(d, axis=1)] = True
+                    cov_own[gc] = float(covered.mean())
+                    nna_own[gc] = float(
+                        jax.device_get(metrics.one_nna(gens[gc], refs[rc]))
+                    )
+
+        print(table(mean_cd, f"Mean pairwise CD (guidance {guidance})"))
+        print(table(mmd_cd, f"MMD-CD (guidance {guidance})"))
+        print("\nCOV-CD own-class:",
+              {c: round(v, 3) for c, v in cov_own.items()})
+        print("1-NNA own-class (0.5 ideal, 1.0 = fully distinguishable):",
+              {c: round(v, 3) for c, v in nna_own.items()})
+        sep = [bool(mean_cd[i, i] == mean_cd[i].min()) for i in range(len(cats))]
+        sep_mmd = [
+            bool(mmd_cd[i, i] == mmd_cd[i].min()) for i in range(len(cats))
+        ]
+        print(f"guidance {guidance}: own-class mean-CD row-min "
+              f"{sum(sep)}/{len(cats)}; MMD-CD row-min {sum(sep_mmd)}/{len(cats)}")
+        results.append({
+            "guidance": guidance,
+            "mean_cd": mean_cd.tolist(),
+            "mmd_cd": mmd_cd.tolist(),
+            "cov_own": cov_own,
+            "one_nna_own": nna_own,
+            "own_class_separates_mean": sep,
+            "own_class_separates_mmd": sep_mmd,
+        })
 
     if args.out:
         with open(args.out, "w") as f:
@@ -196,15 +218,10 @@ def main():
                     "categories": cats,
                     "num_per_class": args.num_per_class,
                     "num_steps": args.num_steps,
-                    "guidance": args.guidance,
                     "sampler": args.sampler,
-                    "mean_cd": mean_cd.tolist(),
-                    "mmd_cd": mmd_cd.tolist(),
-                    "cov_own": cov_own,
-                    "own_class_separates_mean": sep,
-                    "own_class_separates_mmd": sep_mmd,
                     "ref_separability": ref_sep.tolist(),
                     "label_probe": probe_losses,
+                    "per_guidance": results,
                 },
                 f, indent=1,
             )
