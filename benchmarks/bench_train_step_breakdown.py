@@ -89,30 +89,33 @@ def main():
         return dt
 
     # --- fwd, eval mode -----------------------------------------------------
+    # The carry is an x-shaped array on EVERY call (including the warmup), so
+    # the jit signature never changes — a None->array carry would force a
+    # retrace/recompile inside the timed loop and dwarf the steps.
     @jax.jit
-    def fwd_eval(_, i):
+    def fwd_eval(prev, i):
         rng = jax.random.fold_in(key, i)
         t = jax.random.uniform(rng, (batch,))
         return model.apply(
             {"params": state0.params, "batch_stats": state0.batch_stats},
-            x, t, train=False,
+            x + 0.0 * prev[:, :1, :1], t, train=False,
         )
 
-    dt_fwd_eval = timeit(fwd_eval, None, args.steps, lambda o: o)
+    dt_fwd_eval = timeit(fwd_eval, jnp.zeros_like(x), args.steps, lambda o: o)
     report("fwd_eval", dt_fwd_eval, fwd_flops)
 
     # --- fwd, train mode (BN batch stats computed + returned) ---------------
     @jax.jit
-    def fwd_train(_, i):
+    def fwd_train(prev, i):
         rng = jax.random.fold_in(key, i)
         t = jax.random.uniform(rng, (batch,))
         pred, mutated = model.apply(
             {"params": state0.params, "batch_stats": state0.batch_stats},
-            x, t, train=True, mutable=["batch_stats"],
+            x + 0.0 * prev[:, :1, :1], t, train=True, mutable=["batch_stats"],
         )
         return pred
 
-    dt_fwd_train = timeit(fwd_train, None, args.steps, lambda o: o)
+    dt_fwd_train = timeit(fwd_train, jnp.zeros_like(x), args.steps, lambda o: o)
     report("fwd_train", dt_fwd_train, fwd_flops)
 
     # --- fwd + bwd (no optimizer) -------------------------------------------
@@ -162,6 +165,8 @@ def main():
 
     # --- the full real step ---------------------------------------------------
     step_fn = jax.jit(task.train_step, donate_argnums=(0,))
+    # Donation consumes state0's buffers; keep a live copy for later phases.
+    state_copy = jax.tree_util.tree_map(lambda a: a + 0, state0)
 
     def full(state, i):
         state, m = step_fn(state, x, jax.random.fold_in(key, i), jnp.int32(0))
@@ -173,12 +178,39 @@ def main():
     report("full_step", dt_full, step_flops)
 
     # --- host->device input transfer per step (the trainer's real loop
-    # feeds numpy batches) ----------------------------------------------------
+    # feeds numpy batches). Synced per call, so this INCLUDES one tunnel RTT;
+    # the rtt phase below isolates that so transfer = xfer - rtt. ------------
     x_host = np.asarray(x)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         sync(jnp.asarray(x_host))
     dt_xfer = (time.perf_counter() - t0) / args.steps
+
+    tiny = jnp.zeros((1,))
+    sync(tiny)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        sync(tiny)
+    dt_rtt = (time.perf_counter() - t0) / args.steps
+
+    # --- the real trainer loop shape: a FRESH numpy batch fed every step,
+    # nothing fetched until the end. If async dispatch overlaps the
+    # host->device copies with compute, this approaches full_step; if the
+    # tunnel serializes copy and compute, it approaches full_step + xfer. ----
+    batches = [
+        np.asarray(x_host + np.float32(i % 7) * 1e-6) for i in range(8)
+    ]
+    state = state_copy
+    state, _ = step_fn(state, batches[0], jax.random.fold_in(key, 0), jnp.int32(0))
+    sync(state.step)
+    t0 = time.perf_counter()
+    for i in range(1, args.steps + 1):
+        state, _ = step_fn(
+            state, batches[i % 8], jax.random.fold_in(key, i), jnp.int32(0)
+        )
+    sync(state.step)
+    dt_feed = (time.perf_counter() - t0) / args.steps
+    report("full_step_numpy_feed", dt_feed, step_flops)
 
     print(json.dumps({
         "derived": {
@@ -186,16 +218,19 @@ def main():
             "optimizer_ms": round((dt_full - dt_fwd_bwd) * 1e3, 2),
             "bn_train_fwd_ms": round((dt_fwd_train - dt_fwd_eval) * 1e3, 2),
             "bn_total_ms": round((dt_fwd_bwd - dt_frozen) * 1e3, 2),
-            "input_transfer_ms": round(dt_xfer * 1e3, 2),
+            "input_transfer_synced_ms": round(dt_xfer * 1e3, 2),
+            "tunnel_rtt_ms": round(dt_rtt * 1e3, 2),
+            "input_transfer_ms": round((dt_xfer - dt_rtt) * 1e3, 2),
+            "numpy_feed_overhead_ms": round((dt_feed - dt_full) * 1e3, 2),
             "fwd_eval_tflops": round(fwd_flops / dt_fwd_eval / 1e12, 1),
             "full_step_tflops": round(step_flops / dt_full / 1e12, 1),
+            "numpy_feed_tflops": round(step_flops / dt_feed / 1e12, 1),
         }
     }))
 
     if args.trace_dir:
         from shapegen_tpu.utils.profiling import trace
 
-        state = state0
         with trace(args.trace_dir):
             for i in range(3):
                 state = full(state, i)
