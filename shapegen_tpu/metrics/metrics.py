@@ -382,9 +382,19 @@ def _pair_metrics_device(gen, ref, use_sinkhorn: bool, use_pallas: bool):
     return out
 
 
-def _hungarian_pairs_host(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+def _hungarian_pairs_host(
+    x: np.ndarray, y: np.ndarray, workers: Optional[int] = None
+) -> np.ndarray:
     """Exact per-pair Hungarian EMD, pure host (numpy+scipy — deliberately no
-    device dispatch, so it can run WHILE a device program computes)."""
+    device dispatch, so it can run WHILE a device program computes).
+
+    Pairs are independent and scipy's linear_sum_assignment releases the GIL,
+    so they additionally fan out over `workers` threads (default: cpu_count,
+    capped at the pair count) — on a multi-core eval host the O(n^3)
+    assignment floor divides by the core count."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     from scipy.optimize import linear_sum_assignment
 
     def cube(p):
@@ -394,12 +404,19 @@ def _hungarian_pairs_host(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
     x = cube(np.asarray(x, np.float32))
     y = cube(np.asarray(y, np.float32))
-    emds = []
-    for x_pc, y_pc in zip(x, y):
+
+    def one_pair(pair):
+        x_pc, y_pc = pair
         d = np.linalg.norm(x_pc[:, None] - y_pc[None, :], axis=-1)
         row, col = linear_sum_assignment(d)
-        emds.append(d[row, col].sum() / max(x_pc.shape[0], y_pc.shape[0]))
-    return np.asarray(emds)
+        return d[row, col].sum() / max(x_pc.shape[0], y_pc.shape[0])
+
+    pairs = list(zip(x, y))
+    n_workers = min(workers or os.cpu_count() or 1, len(pairs))
+    if n_workers <= 1:
+        return np.asarray([one_pair(p) for p in pairs])
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        return np.asarray(list(pool.map(one_pair, pairs)))
 
 
 def compute_metrics_batched(

@@ -200,3 +200,15 @@ def test_coverage_mmd_and_1nna(rng):
     disks[..., 2] *= 0.01
     acc_far = metrics.one_nna(jnp.asarray(disks), jnp.asarray(shells), block=4)
     assert float(acc_far) >= 0.9
+
+
+def test_hungarian_threaded_matches_sequential(rng):
+    """The pair-parallel Hungarian (ThreadPoolExecutor over GIL-releasing
+    scipy solves) returns exactly what the sequential loop returns."""
+    from shapegen_tpu.metrics.metrics import _hungarian_pairs_host
+
+    x = rng.standard_normal((5, 40, 3)).astype(np.float32)
+    y = rng.standard_normal((5, 40, 3)).astype(np.float32)
+    seq = _hungarian_pairs_host(x, y, workers=1)
+    par = _hungarian_pairs_host(x, y, workers=4)
+    np.testing.assert_array_equal(seq, par)
