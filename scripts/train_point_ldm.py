@@ -68,6 +68,11 @@ def parse_args():
                    help="rolling last.ckpt cadence in epochs; raise on "
                         "slow-transfer links (the full-state fetch costs "
                         "~10s/ckpt for the 21.5M model over the axon tunnel)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace of the first "
+                        "--profile-epochs epochs into this directory "
+                        "(TensorBoard/Perfetto)")
+    p.add_argument("--profile-epochs", type=int, default=1)
     return p.parse_args()
 
 
@@ -130,6 +135,8 @@ def train_vae(args, data_module, logger, timestamp, mesh):
         ckpt_prefix="vae",
         save_top_k=args.save_top_k,
         save_last_every=args.save_last_every,
+        profile_dir=args.profile_dir,
+        profile_epochs=args.profile_epochs,
         tb_dir=args.tb_dir,
         tb_name="vae",
         seed=args.seed,
@@ -167,6 +174,8 @@ def train_diffusion(args, data_module, vae_task, vae_state, logger, timestamp, m
         ckpt_prefix="latent_diffusion",
         save_top_k=args.save_top_k,
         save_last_every=args.save_last_every,
+        profile_dir=args.profile_dir,
+        profile_epochs=args.profile_epochs,
         tb_dir=args.tb_dir,
         tb_name="latent_diffusion",
         seed=args.seed,

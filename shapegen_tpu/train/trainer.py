@@ -51,6 +51,11 @@ class TrainerConfig:
     log_every_steps: int = 50
     val_every_epochs: int = 1
     save_last_every: int = 1  # rolling last.ckpt cadence (epochs)
+    # Device-trace capture (utils/profiling.py): when profile_dir is set,
+    # the first profile_epochs epochs of this fit() are recorded as a
+    # jax.profiler trace viewable in TensorBoard/Perfetto.
+    profile_dir: Optional[str] = None
+    profile_epochs: int = 1
 
 
 class Trainer:
@@ -210,7 +215,12 @@ class Trainer:
         # Continue the per-step RNG stream across resumes (fold_in by global
         # step) instead of replaying the first run's noise sequence.
         step = int(jax.device_get(state.step))
+        profiling = False
         for epoch in range(start_epoch, cfg.max_epochs):
+            if cfg.profile_dir and epoch == start_epoch:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+                self._log(f"profiler trace -> {cfg.profile_dir}")
             t0 = time.time()
             epoch_dev = jnp.asarray(epoch, jnp.int32)
 
@@ -303,6 +313,16 @@ class Trainer:
             for hook in self.epoch_end_hooks:
                 hook(self, state, epoch)
 
+            if profiling and epoch - start_epoch + 1 >= cfg.profile_epochs:
+                # Sync so the trace covers real device work, not just the
+                # async dispatch stream.
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                self._log(f"profiler trace closed ({cfg.profile_epochs} epochs)")
+
+        if profiling:  # max_epochs < profile_epochs
+            jax.profiler.stop_trace()
         if self.tb is not None:
             self.tb.flush()
         return state

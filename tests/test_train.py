@@ -178,3 +178,32 @@ def test_latent_diffusion_smoke_train(data_dir, tmp_path):
     assert z.shape == (2, 16)
     vox = task.decode(z)
     assert vox.shape == (2, 32, 32, 32, 1)
+
+
+def test_trainer_profile_dir_captures_trace(data_dir, tmp_path):
+    """TrainerConfig.profile_dir records a jax.profiler device trace of the
+    first profile_epochs epochs (the tracing subsystem, SURVEY.md §5) and
+    training proceeds normally afterwards."""
+    import glob
+
+    dm = PointCloudDataDirectoryModule(
+        data_dir, num_points=32, batch_size=4, num_workers=1,
+        output_mode="point_clouds", augmentations=False,
+        relevant_object_categories=["all"],
+    )
+    task = tasks.PointDiffusionTask(
+        models.SimplePointUNet(dim=32, time_dim=32), num_points=32, lr=1e-3
+    )
+    trace_dir = str(tmp_path / "trace")
+    cfg = TrainerConfig(
+        max_epochs=2, ckpt_dir=str(tmp_path / "ckpt"), tb_dir=None,
+        save_top_k=0, save_last_every=10**6,
+        profile_dir=trace_dir, profile_epochs=1,
+    )
+    trainer = Trainer(task, cfg)
+    trainer.fit(dm)
+
+    assert len(trainer.history) == 2  # both epochs ran (trace stopped at 1)
+    plane = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert plane, f"no xplane.pb under {trace_dir}"
