@@ -39,6 +39,14 @@ Dtype = Any
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def head_dtype(dtype: Dtype) -> jnp.dtype:
+    """Compute dtype for output heads: at least f32. Under bf16 mixed
+    precision the head stays f32 (loss-side stability); under f64 (the torch
+    lockstep parity tests) it promotes to f64 so no f32 truncation seam
+    seeds chaotic Adam divergence over multi-step trajectories."""
+    return jnp.promote_types(jnp.float32, jnp.dtype(dtype))
+
+
 def xavier_normal_gain(gain: float):
     """torch nn.init.xavier_normal_(w, gain) for Dense kernels."""
 
@@ -59,7 +67,10 @@ def timestep_embedding(timesteps: jnp.ndarray, embedding_dim: int) -> jnp.ndarra
     half_dim = embedding_dim // 2
     scale = math.log(10000.0) / (half_dim - 1)
     freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -scale)
-    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    # f32 frequency table (bitwise the reference's), but let the timestep
+    # dtype promote — torch computes f32-freqs x f64-t in f64, and the f64
+    # lockstep parity tests need the same here. f32/bf16 paths: unchanged.
+    args = timesteps[:, None] * freqs[None, :]
     emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
     if embedding_dim % 2 == 1:
         emb = jnp.pad(emb, ((0, 0), (0, 1)))

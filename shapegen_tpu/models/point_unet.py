@@ -32,6 +32,7 @@ from shapegen_tpu.models.layers import (
     PointNetLayerWithAttention,
     CrossAttentionBlock,
     SetAttentionBlock,
+    head_dtype,
     kaiming_out,
     timestep_embedding,
 )
@@ -152,7 +153,7 @@ class PointUNetLarge(nn.Module):
         )
 
         out = DenseBN(64, dtype=self.dtype)(d, train)
-        out = nn.Dense(3, kernel_init=kaiming_out, dtype=jnp.float32)(out)
+        out = nn.Dense(3, kernel_init=kaiming_out, dtype=head_dtype(self.dtype))(out)
         return out
 
 
@@ -197,7 +198,7 @@ class SimplePointUNet(nn.Module):
         d = PointNetLayer(64, dtype=self.dtype)(
             jnp.concatenate([d, x1], axis=-1), train
         )
-        return nn.Dense(3, kernel_init=kaiming_out, dtype=jnp.float32)(d)
+        return nn.Dense(3, kernel_init=kaiming_out, dtype=head_dtype(self.dtype))(d)
 
 
 class UNetAttentionPoint(nn.Module):
@@ -250,7 +251,7 @@ class UNetAttentionPoint(nn.Module):
         d = PointNetLayer(3, dtype=self.dtype)(
             jnp.concatenate([d, x1], axis=-1), train
         )
-        return nn.Dense(3, kernel_init=kaiming_out, dtype=jnp.float32)(d)
+        return nn.Dense(3, kernel_init=kaiming_out, dtype=head_dtype(self.dtype))(d)
 
 
 class PointUNetLargeWithAttention(nn.Module):
@@ -285,4 +286,4 @@ class PointUNetLargeWithAttention(nn.Module):
         d = CrossAttentionBlock(64, 128, dtype=self.dtype)(d, x1)
 
         out = DenseBN(64, dtype=self.dtype)(d, train)
-        return nn.Dense(3, kernel_init=kaiming_out, dtype=jnp.float32)(out)
+        return nn.Dense(3, kernel_init=kaiming_out, dtype=head_dtype(self.dtype))(out)
