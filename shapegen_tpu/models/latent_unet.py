@@ -14,7 +14,12 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from shapegen_tpu.models.layers import DenseGN, kaiming_out, timestep_embedding
+from shapegen_tpu.models.layers import (
+    DenseGN,
+    head_dtype,
+    kaiming_out,
+    timestep_embedding,
+)
 
 Dtype = Any
 
@@ -58,4 +63,4 @@ class SimpleLatentUNet(nn.Module):
 
         h = nn.Dense(d // 4, kernel_init=kaiming_out, dtype=self.dtype)(h)
         h = nn.relu(h)
-        return nn.Dense(self.latent_dim, kernel_init=kaiming_out, dtype=jnp.float32)(h)
+        return nn.Dense(self.latent_dim, kernel_init=kaiming_out, dtype=head_dtype(self.dtype))(h)
