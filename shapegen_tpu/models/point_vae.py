@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from shapegen_tpu.models.layers import (
+    head_dtype,
     PointNetLayer,
     FoldingLayer,
     kaiming_out,
@@ -50,10 +51,10 @@ class SimplePointNetVAE(nn.Module):
             self.hidden_dim // 2, kernel_init=kaiming_out, dtype=self.dtype
         )
         self.fc_mu = nn.Dense(
-            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=jnp.float32
+            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=head_dtype(self.dtype)
         )
         self.fc_logvar = nn.Dense(
-            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=jnp.float32
+            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=head_dtype(self.dtype)
         )
         self.dec1 = nn.Dense(self.hidden_dim // 2, kernel_init=kaiming_out, dtype=self.dtype)
         self.dec2 = nn.Dense(self.hidden_dim, kernel_init=kaiming_out, dtype=self.dtype)
@@ -62,7 +63,7 @@ class SimplePointNetVAE(nn.Module):
         )
         self.dropout = nn.Dropout(self.dropout_rate)
         self.output_layer = nn.Dense(
-            self.num_points * 3, kernel_init=kaiming_out, dtype=jnp.float32
+            self.num_points * 3, kernel_init=kaiming_out, dtype=head_dtype(self.dtype)
         )
 
     def encode(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -102,10 +103,10 @@ class PointNetPPEncoder(nn.Module):
         self.fc1 = nn.Dense(512, kernel_init=kaiming_out, dtype=self.dtype)
         self.bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         self.fc_mu = nn.Dense(
-            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=jnp.float32
+            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=head_dtype(self.dtype)
         )
         self.fc_logvar = nn.Dense(
-            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=jnp.float32
+            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=head_dtype(self.dtype)
         )
 
     def __call__(self, x, train: bool = False):
@@ -143,7 +144,7 @@ class FoldingDecoder(nn.Module):
             FoldingLayer(3, dtype=self.dtype),
         ]
         self.upsample = nn.Dense(
-            self.num_points, kernel_init=kaiming_out, dtype=jnp.float32
+            self.num_points, kernel_init=kaiming_out, dtype=head_dtype(self.dtype)
         )
 
     def __call__(self, z):
@@ -206,17 +207,17 @@ class PointNetVAEExperimental(nn.Module):
         self.sa3 = SetAbstraction(64, 0.4, 32, mlp=[128, 128, 256], dtype=self.dtype)
         self.sa4 = SetAbstraction(16, 0.8, 32, mlp=[256, 256, 512], dtype=self.dtype)
         self.fc_mu = nn.Dense(
-            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=jnp.float32
+            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=head_dtype(self.dtype)
         )
         self.fc_logvar = nn.Dense(
-            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=jnp.float32
+            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=head_dtype(self.dtype)
         )
         self.fp4 = FeaturePropagation(mlp=[256, 256], dtype=self.dtype)
         self.fp3 = FeaturePropagation(mlp=[256, 256], dtype=self.dtype)
         self.fp2 = FeaturePropagation(mlp=[256, 128], dtype=self.dtype)
         self.fp1 = FeaturePropagation(mlp=[128, 128, 3], dtype=self.dtype)
         self.out_convs = [
-            nn.Dense(3, kernel_init=kaiming_out, dtype=jnp.float32) for _ in range(3)
+            nn.Dense(3, kernel_init=kaiming_out, dtype=head_dtype(self.dtype)) for _ in range(3)
         ]
 
     def encode(self, x, train: bool = False):

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from shapegen_tpu.models.layers import (
+    head_dtype,
     Conv3DBlock,
     Deconv3DBlock,
     ResidualBlock3D,
@@ -57,10 +58,10 @@ class VAE3D(nn.Module):
         ]
         self.enc_fc = nn.Dense(512, kernel_init=kaiming_out, dtype=self.dtype)
         self.fc_mu = nn.Dense(
-            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=jnp.float32
+            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=head_dtype(self.dtype)
         )
         self.fc_logvar = nn.Dense(
-            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=jnp.float32
+            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=head_dtype(self.dtype)
         )
         self.decoder_input = nn.Dense(
             256 * 2 * 2 * 2, kernel_init=kaiming_out, dtype=self.dtype
@@ -143,10 +144,10 @@ class VAE3DLarge(nn.Module):
             kernel_init=kaiming_out, dtype=self.dtype,
         )
         self.fc_mu = nn.Dense(
-            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=jnp.float32
+            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=head_dtype(self.dtype)
         )
         self.fc_logvar = nn.Dense(
-            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=jnp.float32
+            self.latent_dim, kernel_init=xavier_normal_gain(0.01), dtype=head_dtype(self.dtype)
         )
 
         self.decoder_input = nn.Dense(
