@@ -37,6 +37,20 @@ CPU_STEPS = 4  # extrapolated to NUM_STEPS
 TORCH_BASELINE_STEPS = 20  # measured steps for the torch CPU denominator
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "cpu_baseline.json")
 
+# Outage resilience (the axon TPU tunnel is known-flaky: BENCH_r03 was lost
+# to a transient UNAVAILABLE window). The TPU measurement runs in a
+# subprocess behind a cheap backend probe; on failure the probe+measure
+# cycle retries with backoff. All knobs are env-overridable so tests can
+# simulate failure cheaply.
+BENCH_ATTEMPTS = int(os.environ.get("SHAPEGEN_BENCH_ATTEMPTS", "4"))
+BENCH_BACKOFF = [
+    float(s)
+    for s in os.environ.get("SHAPEGEN_BENCH_BACKOFF_SECONDS", "30,60,120").split(",")
+    if s.strip()
+]
+PROBE_TIMEOUT = float(os.environ.get("SHAPEGEN_BENCH_PROBE_TIMEOUT", "300"))
+WORKER_TIMEOUT = float(os.environ.get("SHAPEGEN_BENCH_WORKER_TIMEOUT", "2400"))
+
 
 def _build():
     import jax
@@ -155,24 +169,94 @@ def cpu_baseline():
     return data
 
 
-def main():
-    t = measure(NUM_STEPS)
-    tpu_sps = NUM_SAMPLES / t
+def _subprocess_line(args, timeout):
+    """Run [python, *args] in this directory; return its last stdout line.
+
+    Raises RuntimeError (with the stderr tail folded in) on nonzero exit,
+    empty stdout, or timeout — the caller's retry loop handles it.
+    """
     try:
-        vs = tpu_sps / cpu_baseline()["torch_cpu_samples_per_sec"]
-    except Exception:
-        vs = None
-    print(
-        json.dumps(
-            {
-                "metric": "samples/sec/chip (2048-pt DDPM, 1000-step DDIM)",
-                "value": round(tpu_sps, 4),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(vs, 2) if vs is not None else None,
-            }
+        out = subprocess.run(
+            [sys.executable] + args,
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(f"timed out after {timeout:.0f}s: {args}")
+    if out.returncode != 0 or not out.stdout.strip():
+        tail = (out.stderr or "").strip().splitlines()[-3:]
+        raise RuntimeError(f"rc={out.returncode}: {' | '.join(tail) or 'no output'}")
+    return out.stdout.strip().splitlines()[-1]
+
+
+def _probe_backend():
+    """Cheap liveness check: one tiny op through the device, fresh process.
+
+    Fails in seconds when the tunnel is down (vs minutes wasted on the full
+    model build), and a fresh process sidesteps JAX's caching of a failed
+    backend initialization.
+    """
+    code = (
+        "import jax, numpy as np; "
+        "print(float(np.asarray(jax.device_get(jax.numpy.ones(()) + 1))))"
+    )
+    _subprocess_line(["-c", code], PROBE_TIMEOUT)
+
+
+def _measure_tpu_once():
+    """Full measurement in a subprocess -> samples/sec. A crash, hang, or
+    backend error is contained there; the parent never imports jax."""
+    line = _subprocess_line(["bench.py", "--tpu-worker"], WORKER_TIMEOUT)
+    return json.loads(line)["tpu_samples_per_sec"]
+
+
+def measure_tpu_with_retry():
+    """Probe-then-measure with bounded backoff across tunnel outages."""
+    errors = []
+    t_start = time.time()
+    for attempt in range(BENCH_ATTEMPTS):
+        if attempt:
+            time.sleep(BENCH_BACKOFF[min(attempt - 1, len(BENCH_BACKOFF) - 1)])
+        try:
+            _probe_backend()
+            return _measure_tpu_once()
+        except Exception as e:  # noqa: BLE001 — retry loop boundary
+            errors.append(str(e)[:200])
+            print(f"bench attempt {attempt + 1}/{BENCH_ATTEMPTS} failed: {e}",
+                  file=sys.stderr)
+    waited = time.time() - t_start
+    raise RuntimeError(
+        f"TPU backend unavailable after {BENCH_ATTEMPTS} attempts over "
+        f"{waited / 60:.1f} min; last error: {errors[-1]}"
     )
 
 
+def main():
+    """Always prints exactly ONE JSON line on stdout (driver contract):
+    value is the measured throughput, or null with an `error` field when
+    the backend stayed unavailable through the retry window."""
+    result = {
+        "metric": "samples/sec/chip (2048-pt DDPM, 1000-step DDIM)",
+        "value": None,
+        "unit": "samples/sec/chip",
+        "vs_baseline": None,
+    }
+    try:
+        tpu_sps = measure_tpu_with_retry()
+        result["value"] = round(tpu_sps, 4)
+        try:
+            vs = tpu_sps / cpu_baseline()["torch_cpu_samples_per_sec"]
+            result["vs_baseline"] = round(vs, 2)
+        except Exception as e:  # noqa: BLE001 — baseline is best-effort
+            print(f"cpu baseline unavailable: {e}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — the one JSON line must survive
+        result["error"] = str(e)[:400]
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
-    main()
+    if "--tpu-worker" in sys.argv:
+        t = measure(NUM_STEPS)
+        print(json.dumps({"tpu_samples_per_sec": NUM_SAMPLES / t}))
+    else:
+        main()
