@@ -398,16 +398,19 @@ class PointCloudDataDirectoryModule:
         if jax.process_count() > 1:
             from shapegen_tpu.parallel.distributed import shard_for_host
 
-            if len(self.val_indices) < jax.process_count():
-                # Equalized sharding truncates to len // process_count; with a
-                # val split smaller than the pod every host would get zero val
-                # samples, leaving val_loss undefined and breaking the plateau
-                # scheduler and the val top-k monitor. Fail loudly instead.
-                raise ValueError(
-                    f"val split has {len(self.val_indices)} samples but "
-                    f"{jax.process_count()} processes — every host needs at "
-                    "least one; use a larger dataset or fewer hosts"
-                )
+            # Equalized sharding truncates to len // process_count; a split
+            # smaller than the pod would give every host zero samples —
+            # undefined val_loss (breaking the plateau scheduler and the val
+            # top-k monitor) or a zero-step train epoch. Fail loudly instead.
+            for split_name, idx in (
+                ("val", self.val_indices), ("train", self.train_indices)
+            ):
+                if len(idx) < jax.process_count():
+                    raise ValueError(
+                        f"{split_name} split has {len(idx)} samples but "
+                        f"{jax.process_count()} processes — every host needs "
+                        "at least one; use a larger dataset or fewer hosts"
+                    )
             self.train_indices = shard_for_host(self.train_indices, equalize=True)
             self.val_indices = shard_for_host(self.val_indices, equalize=True)
 

@@ -69,8 +69,11 @@ def timestep_embedding(timesteps: jnp.ndarray, embedding_dim: int) -> jnp.ndarra
     freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -scale)
     # f32 frequency table (bitwise the reference's), but let the timestep
     # dtype promote — torch computes f32-freqs x f64-t in f64, and the f64
-    # lockstep parity tests need the same here. f32/bf16 paths: unchanged.
-    args = timesteps[:, None] * freqs[None, :]
+    # lockstep parity tests need the same here. Promotion floors at f32 so a
+    # bf16 timestep can never drag the sin/cos table below f32 and silently
+    # degrade the time conditioning.
+    args_dtype = jnp.promote_types(timesteps.dtype, jnp.float32)
+    args = timesteps.astype(args_dtype)[:, None] * freqs[None, :]
     emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
     if embedding_dim % 2 == 1:
         emb = jnp.pad(emb, ((0, 0), (0, 1)))

@@ -132,11 +132,14 @@ class Trainer:
         hits the same compiled program. Costs one extra compile for the tail
         shape, nothing else.
 
-        On a multi-process run the tail data is split across hosts, so
-        replication is impossible; there the local batch is padded by
-        repeating its first rows (slightly over-weighting them in that one
-        batch's metrics — the alternative is dropping the tail, which
-        Lightning doesn't do either).
+        On a multi-process run the tail data is split across hosts; the
+        local tails are all-gathered over DCN into the true global tail
+        batch and replicated exactly like the single-process path — every
+        device computes the real rows once, no padding, no row
+        over-weighting (Lightning also processes tail batches unpadded,
+        data.py:362-372). Equalized per-host shards (shard_for_host)
+        guarantee all hosts reach the tail together with equal shapes, so
+        the gather cannot deadlock. Costs one host gather per tail batch.
         """
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         if self.mesh is None:
@@ -148,14 +151,14 @@ class Trainer:
             # Local rows must divide the local device count so the
             # assembled global batch divides the full mesh.
             n_local = max(n // jax.process_count(), 1)
+            if local_rows % n_local == 0:
+                return shard_batch(batch, self.mesh)
+            from jax.experimental import multihost_utils
 
-            def pad(x):
-                rem = x.shape[0] % n_local
-                if rem:
-                    return jnp.concatenate([x, x[: n_local - rem]], axis=0)
-                return x
+            from shapegen_tpu.parallel.mesh import replicated_sharding
 
-            return shard_batch(jax.tree_util.tree_map(pad, batch), self.mesh)
+            batch = multihost_utils.process_allgather(batch, tiled=True)
+            return jax.device_put(batch, replicated_sharding(self.mesh))
 
         if local_rows % n:
             from shapegen_tpu.parallel.mesh import replicated_sharding

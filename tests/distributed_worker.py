@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--local-batch", type=int, default=4)
+    ap.add_argument("--resume-from", default=None,
+                    help="checkpoint path for the phase-B fit (pod resume: "
+                    "every process restores process-0's last.ckpt)")
     args = ap.parse_args()
 
     # Platform setup must precede the first jax import (conftest.py pattern).
@@ -112,6 +115,33 @@ def main():
             step1_params = flat_params(state.params)
     step_params = flat_params(state.params)
 
+    # ---- Phase C: partial (tail) global batch ----------------------------
+    # 6 global rows: single-process 6 % 8 devices != 0 -> replicated path;
+    # 2-process 3 local % 4 local devices != 0 -> process_allgather +
+    # replicate. Both compute the identical global tail batch on every
+    # device, so losses/params must agree across topologies (the pod pad
+    # path this replaced over-weighted repeated rows).
+    G_TAIL = 6
+    per_t = G_TAIL // args.num_processes
+    local_t = canonical[args.process_id * per_t : (args.process_id + 1) * per_t]
+    state_c = task.init_state(jax.random.PRNGKey(1), jnp.asarray(canonical[:2]))
+    state_c = replicate_state(state_c, mesh)
+    placer = Trainer(
+        task,
+        TrainerConfig(max_epochs=1, tb_dir=None, save_top_k=0,
+                      ckpt_dir=os.path.join(args.workdir, f"tail{args.process_id}")),
+        mesh=mesh,
+    )
+    batch_c = placer._device_batch(jnp.asarray(local_t))
+    assert batch_c.shape[0] == G_TAIL, batch_c.shape  # real rows, no padding
+    state_c, metrics_c = jax.jit(task.train_step, donate_argnums=(0,))(
+        state_c, batch_c,
+        jax.random.fold_in(jax.random.PRNGKey(6), 0),
+        jnp.asarray(0, jnp.int32),
+    )
+    tail_loss = float(metrics_c["train_loss"])
+    tail_params = flat_params(state_c.params)
+
     # ---- Phase B: real Trainer.fit over per-host dataset shards ----------
     dm = PointCloudDataDirectoryModule(
         args.data_dir, num_points=NUM_POINTS, batch_size=args.local_batch,
@@ -128,7 +158,7 @@ def main():
         ckpt_prefix="pod", tb_dir=None, save_top_k=1,
     )
     trainer = Trainer(task2, cfg, mesh=mesh)
-    final_state = trainer.fit(dm)
+    final_state = trainer.fit(dm, resume_from=args.resume_from)
     fit_params = flat_params(final_state.params)
 
     np.savez(
@@ -136,7 +166,10 @@ def main():
         step_losses=np.asarray(step_losses),
         step1_params=step1_params,
         step_params=step_params,
+        tail_loss=np.asarray(tail_loss),
+        tail_params=tail_params,
         fit_params=fit_params,
+        fit_step=np.asarray(int(jax.device_get(final_state.step))),
         history=json.dumps(trainer.history),
         train_shard=np.asarray(dm.train_indices),
         val_shard=np.asarray(dm.val_indices),

@@ -212,3 +212,21 @@ def test_datamodule_multihost_rejects_tiny_val_split(data_dir, monkeypatch):
     )
     with pytest.raises(ValueError, match="val split"):
         m.setup()
+
+
+def test_datamodule_multihost_rejects_tiny_train_split(data_dir, monkeypatch):
+    """Same failure class for the train side: a train split smaller than the
+    pod equalizes to zero train batches per host — an epoch with no steps
+    and undefined train_loss. A low train_val_split makes train the small
+    side so the train guard (not the val one) must fire."""
+    import jax
+    import pytest
+
+    monkeypatch.setattr(jax, "process_count", lambda: 10)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    m = PointCloudDataDirectoryModule(
+        data_dir, num_points=64, batch_size=2, train_val_split=0.05,
+        output_mode="point_clouds", augmentations=False,
+    )
+    with pytest.raises(ValueError, match="train split"):
+        m.setup()

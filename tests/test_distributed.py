@@ -46,7 +46,8 @@ def _clean_env():
     return env
 
 
-def _run_workers(num_processes, data_dir, workdir, global_batch=8, epochs=2):
+def _run_workers(num_processes, data_dir, workdir, global_batch=8, epochs=2,
+                 resume_from=None):
     port = _free_port()
     procs, outs = [], []
     for pid in range(num_processes):
@@ -64,6 +65,8 @@ def _run_workers(num_processes, data_dir, workdir, global_batch=8, epochs=2):
             "--epochs", str(epochs),
             "--local-batch", str(global_batch // num_processes),
         ]
+        if resume_from:
+            cmd += ["--resume-from", resume_from]
         procs.append(
             subprocess.Popen(
                 cmd, cwd=REPO, env=_clean_env(),
@@ -132,6 +135,17 @@ def test_two_process_pod_executes_and_matches_single_process(
         p0["step_losses"], s["step_losses"], rtol=0.05
     )
 
+    # --- Phase C: pod tail-batch parity. The partial global batch (6 rows)
+    # takes the process_allgather+replicate path on the pod and the
+    # replicate path single-process; both run the identical global rows on
+    # every device — no padding, no row over-weighting — so the step must
+    # agree across topologies (and exactly across processes).
+    np.testing.assert_allclose(p0["tail_loss"], s["tail_loss"], rtol=1e-6)
+    np.testing.assert_array_equal(p0["tail_params"], p1["tail_params"])
+    np.testing.assert_allclose(
+        p0["tail_params"], s["tail_params"], rtol=1e-5, atol=1e-7
+    )
+
     # --- SPMD invariant: both processes hold identical replicated state,
     # after raw steps and after a full Trainer.fit through their disjoint
     # data shards (collectives, not luck, keep them in sync).
@@ -157,3 +171,45 @@ def test_two_process_pod_executes_and_matches_single_process(
     assert abs(hist_p[-1]["train_loss"] - hist_s[-1]["train_loss"]) < 0.5 * abs(
         hist_s[-1]["train_loss"]
     )
+
+
+def test_pod_resume_from_process0_checkpoint(data_dir, tmp_path):
+    """Real pod resume: train 2 epochs in 2 processes, kill the job, relaunch
+    both workers restoring process-0's last.ckpt (non-primary hosts skip
+    checkpoint WRITES but every host restores — the one pod code path with
+    no prior execution evidence). The resumed run also uses local batch 3
+    (% 4 local devices != 0), so every fit step exercises the
+    process_allgather tail path inside a real Trainer.fit."""
+    first_dir = tmp_path / "first"
+    second_dir = tmp_path / "second"
+    first_dir.mkdir()
+    second_dir.mkdir()
+
+    first, _ = _run_workers(2, data_dir, str(first_dir), epochs=2)
+    ckpt = os.path.join(str(first_dir), "ck0", "last.ckpt")
+    assert os.path.isdir(ckpt), "process 0 must have written last.ckpt"
+    # Non-primary hosts own no checkpoint I/O.
+    assert not os.path.exists(os.path.join(str(first_dir), "ck1", "last.ckpt"))
+
+    resumed, _ = _run_workers(
+        2, data_dir, str(second_dir), global_batch=6, epochs=4,
+        resume_from=ckpt,
+    )
+    f0, r0, r1 = first[0], resumed[0], resumed[1]
+
+    # Resume advanced the epoch counter: 4 max epochs minus 2 completed.
+    hist_f = json.loads(str(f0["history"]))
+    hist_r = json.loads(str(r0["history"]))
+    assert len(hist_r) == 2, f"expected 2 resumed epochs, got {len(hist_r)}"
+    # The optimizer step counter continued past the first run's.
+    assert int(r0["fit_step"]) > int(f0["fit_step"])
+
+    # SPMD identity after restore-and-replicate across both processes.
+    np.testing.assert_array_equal(r0["fit_params"], r1["fit_params"])
+
+    # Restored weights, not a re-init: the first resumed epoch starts from
+    # the trained model, so its loss sits well below the fresh run's first
+    # epoch; training keeps descending.
+    assert hist_r[0]["train_loss"] < hist_f[0]["train_loss"]
+    assert all(np.isfinite(e["train_loss"]) for e in hist_r)
+    assert hist_r[-1]["train_loss"] < hist_f[0]["train_loss"]

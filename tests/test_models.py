@@ -32,6 +32,21 @@ def test_timestep_embedding_matches_reference_formula():
     assert float(timestep_embedding(t, 7)[0, -1]) == 0.0
 
 
+def test_timestep_embedding_promotes_bf16_to_f32():
+    """bf16 timesteps must not drag the sin/cos table below f32 (the
+    promotion floors at f32; f64 parity inputs still promote upward)."""
+    import jax.numpy as jnp
+
+    t32 = jnp.linspace(0.0, 1.0, 5, dtype=jnp.float32)
+    emb_bf16 = timestep_embedding(t32.astype(jnp.bfloat16), 16)
+    assert emb_bf16.dtype == jnp.float32
+    # Value-level: the bf16 path matches the f32 path to bf16 input rounding.
+    emb_f32 = timestep_embedding(t32, 16)
+    np.testing.assert_allclose(
+        np.asarray(emb_bf16), np.asarray(emb_f32), atol=1e-2
+    )
+
+
 def test_point_unet_large_shapes_and_size():
     model = models.PointUNetLarge()
     x = jnp.zeros((2, 128, 3))
