@@ -24,7 +24,12 @@ from shapegen_tpu.ops import voxel_to_points_padded  # noqa: E402
 from shapegen_tpu.parallel import initialize_distributed, make_mesh  # noqa: E402
 from shapegen_tpu.train import Trainer, TrainerConfig, tasks  # noqa: E402
 from shapegen_tpu.train.factory import load_task_checkpoint  # noqa: E402
-from shapegen_tpu.utils import plot_point_cloud_3d, setup_logger  # noqa: E402
+from shapegen_tpu.utils import (  # noqa: E402
+    plot_comparison_point_clouds,
+    plot_point_cloud_2d,
+    plot_point_cloud_3d,
+    setup_logger,
+)
 
 
 def parse_args():
@@ -73,6 +78,12 @@ def parse_args():
                         "--profile-epochs epochs into this directory "
                         "(TensorBoard/Perfetto)")
     p.add_argument("--profile-epochs", type=int, default=1)
+    p.add_argument("--viz-samples", type=int, default=4,
+                   help="TensorBoard figures: generated samples per epoch "
+                        "and validation round-trip figures (reference "
+                        "num_samples=4; 0 disables the figure side-channel)")
+    p.add_argument("--viz-steps", type=int, default=1000,
+                   help="denoising steps for the LDM figure samplers")
     return p.parse_args()
 
 
@@ -119,6 +130,168 @@ def build_vae_task(args):
     raise ValueError(kind)
 
 
+def make_vae_hooks(args, task, kind):
+    """The reference's in-training TensorBoard figure side-channel, per VAE
+    family. Validation batches: every ``num_val_batches // 5`` batches the
+    voxel VAE3DLarge logs an input-vs-reconstruction comparison
+    (networks.py:2418-2443) while the other families log the input cloud
+    only (networks.py:1343-1361, 1905-1926, 2140-2160). Epoch end: 4 prior
+    samples as ``vae_generated_sample_{3d,2d}_{i}`` (networks.py:2470-2490
+    and the same hook on every VAE), empty decoded clouds skipped."""
+    if args.viz_samples <= 0:
+        return [], []
+    is_voxel = kind in ("vae3d_large", "vae3d")
+
+    def _vars(state):
+        v = {"params": state.params}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    def on_val_batch(trainer, state, epoch, batch_idx, num_val_batches, batch):
+        interval = max(num_val_batches // 5, 1)
+        if batch_idx % interval != 0:
+            return
+        img_idx = batch_idx // interval
+        if kind == "vae3d_large":
+            sample_idx = batch.shape[0] // 2
+            x = batch[sample_idx : sample_idx + 1]
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed), 3000 + epoch * 100 + batch_idx
+            )
+            recon, _, _ = task.model.apply(_vars(state), x, rng, train=False)
+            # Input and reconstruction at the conversion default 0.5
+            # (utils.py:511); the epoch-end sampler below uses 0.4.
+            inp = voxels_to_point_cloud_list(x, 0.5, args.max_decode_points)[0]
+            rec = voxels_to_point_cloud_list(recon, 0.5, args.max_decode_points)[0]
+            fig = plot_comparison_point_clouds(
+                inp, rec, "Point Cloud Comparison", "Input", "Reconstructed"
+            )
+            trainer.add_figure(
+                f"input_vs_reconstructed_point_cloud_3d_{img_idx}_{sample_idx}",
+                fig, epoch,
+            )
+            plt.close(fig)
+            fig = plot_point_cloud_2d(inp)
+            trainer.add_figure(
+                f"input_point_cloud_2d_{img_idx}_{sample_idx}", fig, epoch
+            )
+            plt.close(fig)
+            return
+        if is_voxel:  # vae3d: input-only figures from the first voxel grid
+            inp = voxels_to_point_cloud_list(
+                batch[:1], 0.5, args.max_decode_points
+            )[0]
+        else:  # point VAEs: the first input cloud directly
+            inp = jax.device_get(batch[0])
+        fig = plot_point_cloud_3d(inp)
+        trainer.add_figure(f"input_point_cloud_3d_{img_idx}_0", fig, epoch)
+        plt.close(fig)
+        fig = plot_point_cloud_2d(inp)
+        trainer.add_figure(f"input_point_cloud_2d_{img_idx}_0", fig, epoch)
+        plt.close(fig)
+
+    def on_epoch_end(trainer, state, epoch):
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), 555 + epoch)
+        if is_voxel:
+            vox = task.sample_voxels(state, key, args.viz_samples)
+            # Sample decode threshold 0.4 (networks.py:2163, 2447).
+            samples = voxels_to_point_cloud_list(vox, 0.4, args.max_decode_points)
+        else:
+            samples = jax.device_get(task.sample(state, key, args.viz_samples))
+        for i, sample in enumerate(samples):
+            if len(sample) == 0:
+                continue  # networks.py:2480-2482
+            fig = plot_point_cloud_3d(sample)
+            trainer.add_figure(f"vae_generated_sample_3d_{i}", fig, epoch)
+            plt.close(fig)
+            fig = plot_point_cloud_2d(sample)
+            trainer.add_figure(f"vae_generated_sample_2d_{i}", fig, epoch)
+            plt.close(fig)
+
+    return [on_epoch_end], [on_val_batch]
+
+
+def make_ldm_hooks(args, task):
+    """LatentDiffusion figure side-channel: every ``num_val_batches // 5``
+    validation batches, a frozen-VAE latent round-trip (encode -> t=0.01
+    noise on z[0] -> sample3 -> decode) compared against the middle input
+    sample (diffusion.py:446-487 — the input uses sample_idx while the
+    round-trip uses z[0]; quirk preserved); epoch end logs 4 generated
+    samples as ``latent_diffusion_generated_sample_{3d,2d}_{i}``
+    (diffusion.py:715-734)."""
+    if args.viz_samples <= 0:
+        return [], []
+
+    def _decode_clouds(x, threshold):
+        if task.is_voxel_based:
+            return voxels_to_point_cloud_list(x, threshold, args.max_decode_points)
+        # Non-voxel LDM decode returns point clouds directly. (The
+        # reference's sample() hits a NameError on this path,
+        # diffusion.py:700-707 — behaving sanely here is deliberate.)
+        return list(jax.device_get(x))
+
+    def on_val_batch(trainer, state, epoch, batch_idx, num_val_batches, batch):
+        interval = max(num_val_batches // 5, 1)
+        if batch_idx % interval != 0:
+            return
+        img_idx = batch_idx // interval
+        sample_idx = batch.shape[0] // 2
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(args.seed), 4000 + epoch * 100 + batch_idx
+        )
+        e_key, n_key = jax.random.split(key)
+        z = task.encode(batch, e_key)
+        t = jnp.full((1,), 0.01)
+        z_noisy, _, _, _ = task.add_noise(n_key, z[0:1], t)
+        z0 = task.sample3_latents(state, z_noisy, t, num_steps=args.viz_steps)
+        x = task.decode(z0)
+        # Round-trip decodes at the sampler default 0.4 (diffusion.py:656);
+        # the input figure converts at the utils default 0.5.
+        rec = _decode_clouds(x, 0.4)[0]
+        if task.is_voxel_based:
+            inp = voxels_to_point_cloud_list(
+                batch[sample_idx : sample_idx + 1], 0.5, args.max_decode_points
+            )[0]
+        else:
+            inp = jax.device_get(batch[sample_idx])
+        fig = plot_comparison_point_clouds(
+            inp, rec, "Point Cloud Comparison", "Input", "Reconstructed"
+        )
+        trainer.add_figure(
+            f"input_vs_reconstructed_point_cloud_3d_{img_idx}_{sample_idx}",
+            fig, epoch,
+        )
+        plt.close(fig)
+        fig = plot_point_cloud_2d(inp)
+        trainer.add_figure(
+            f"input_point_cloud_2d_{img_idx}_{sample_idx}", fig, epoch
+        )
+        plt.close(fig)
+
+    def on_epoch_end(trainer, state, epoch):
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), 666 + epoch)
+        z0 = task.sample_latents(
+            state, key, args.viz_samples, num_steps=args.viz_steps
+        )
+        samples = _decode_clouds(task.decode(z0), 0.4)
+        for i, sample in enumerate(samples):
+            if len(sample) == 0:
+                continue
+            fig = plot_point_cloud_3d(sample)
+            trainer.add_figure(
+                f"latent_diffusion_generated_sample_3d_{i}", fig, epoch
+            )
+            plt.close(fig)
+            fig = plot_point_cloud_2d(sample)
+            trainer.add_figure(
+                f"latent_diffusion_generated_sample_2d_{i}", fig, epoch
+            )
+            plt.close(fig)
+
+    return [on_epoch_end], [on_val_batch]
+
+
 def train_vae(args, data_module, logger, timestamp, mesh):
     if args.vae_checkpoint and args.skip_vae_training:
         logger.info(f"Loading VAE model from checkpoint: {args.vae_checkpoint}")
@@ -141,7 +314,11 @@ def train_vae(args, data_module, logger, timestamp, mesh):
         tb_name="vae",
         seed=args.seed,
     )
-    trainer = Trainer(task, cfg, mesh=mesh, logger=logger)
+    epoch_end_hooks, val_batch_hooks = make_vae_hooks(args, task, _vae_kind(args))
+    trainer = Trainer(
+        task, cfg, mesh=mesh, logger=logger,
+        epoch_end_hooks=epoch_end_hooks, val_batch_hooks=val_batch_hooks,
+    )
     state = trainer.fit(data_module, resume_from=args.vae_checkpoint)
     return task, state
 
@@ -180,7 +357,11 @@ def train_diffusion(args, data_module, vae_task, vae_state, logger, timestamp, m
         tb_name="latent_diffusion",
         seed=args.seed,
     )
-    trainer = Trainer(task, cfg, mesh=mesh, logger=logger)
+    epoch_end_hooks, val_batch_hooks = make_ldm_hooks(args, task)
+    trainer = Trainer(
+        task, cfg, mesh=mesh, logger=logger,
+        epoch_end_hooks=epoch_end_hooks, val_batch_hooks=val_batch_hooks,
+    )
     state = trainer.fit(data_module, resume_from=args.diffusion_checkpoint)
     return task, state
 

@@ -305,6 +305,11 @@ class LatentDiffusionTask:
         )
         return reparameterize(rng, mu, logvar)
 
+    def encode(self, batch, rng):
+        """Frozen-VAE reparameterized encode (diffusion.py:455-458) — the
+        public entry for validation-figure round-trips."""
+        return self._encode(batch, rng)
+
     def _loss(self, params, batch, rng, train: bool):
         e_key, t_key, n_key, d_key = jax.random.split(rng, 4)
         z0 = jax.lax.stop_gradient(self._encode(batch, e_key))
@@ -587,8 +592,9 @@ class SimplePointNetVAETask:
                 variables, batch, re_key, train=False
             )
             new_stats = batch_stats
-        # use_pallas=False: this CD is differentiated (the kernel has no VJP).
-        chamfer = chamfer_distance(recon, batch, use_pallas=False)
+        # Differentiated CD: on TPU this takes the streaming Pallas kernel
+        # (custom VJP — no (N, M) matrix through fwd+bwd), XLA elsewhere.
+        chamfer = chamfer_distance(recon, batch)
         voxel = voxel_bce_recon_loss(recon, batch)
         recon_loss = self.chamfer_lambda * chamfer + self.voxel_lambda * voxel
         kl = kl_divergence_sum(mu, logvar)
@@ -675,8 +681,9 @@ class PointNetVAETask:
         else:
             recon, mu, logvar = self.model.apply(variables, batch, re_key, train=False)
             new_stats = batch_stats
-        # use_pallas=False: this CD is differentiated (the kernel has no VJP).
-        recon_loss = chamfer_distance(recon, batch, use_pallas=False)
+        # Differentiated CD: on TPU this takes the streaming Pallas kernel
+        # (custom VJP — no (N, M) matrix through fwd+bwd), XLA elsewhere.
+        recon_loss = chamfer_distance(recon, batch)
         kl = kl_divergence_sum(mu, logvar)
         return recon_loss + self.beta * kl, (recon_loss, kl, new_stats)
 
