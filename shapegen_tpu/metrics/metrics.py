@@ -47,10 +47,11 @@ _PALLAS_OVERRIDE: Optional[bool] = None  # test hook: force on/off
 
 
 def pallas_available() -> bool:
-    """True when the streaming Pallas chamfer kernel should drive the eval
-    path (TPU backend). The XLA formulation stays the fallback everywhere
-    else, and the only path used under differentiation (the kernel defines
-    no VJP — training losses pass use_pallas=False explicitly)."""
+    """True when the streaming Pallas chamfer kernel should drive the CD
+    (TPU backend) — eval and training alike: the kernel carries a custom
+    VJP (ops.pallas_kernels.min_dists_vjp), so differentiated call sites
+    (VAE reconstruction losses) use it too. The XLA formulation stays the
+    fallback everywhere else."""
     if _PALLAS_OVERRIDE is not None:
         return _PALLAS_OVERRIDE
     try:
@@ -89,9 +90,8 @@ def chamfer_distance(
     Handles N != M (the reference's unit test deliberately uses unequal point
     counts, units.py:7-10). On TPU this routes through the streaming Pallas
     kernel (ops.pallas_kernels) — same semantics, never materializes the
-    (N, M) matrix in HBM. Call sites that differentiate through the CD
-    (VAE reconstruction losses) must pass ``use_pallas=False``: the kernel
-    defines no VJP.
+    (N, M) matrix in HBM — and is differentiable there too (the kernel has
+    a custom VJP that scatters gradients to the matched pairs).
     """
     if use_pallas is None:
         use_pallas = pallas_available()
@@ -209,6 +209,80 @@ def pairwise_chamfer_matrix(
     def one_gen(g):
         # g: (N, 3) vs all refs (R, M, 3)
         return _per_pair_chamfer(jnp.broadcast_to(g[None], (R,) + g.shape), ref)
+
+    return jax.lax.map(one_gen, gen, batch_size=block)
+
+
+def _sinkhorn_ot_pairs(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    epsilon: float = 1e-2,
+    max_iter: int = 200,
+) -> jnp.ndarray:
+    """Per-pair entropic OT cost via textbook log-domain Sinkhorn, (B,).
+
+    Unlike the reference-parity ``sinkhorn_emd`` (whose duals are scaled
+    inconsistently and whose early-exit criterion fires before the plan is
+    a coupling — preserved there as a quirk, metrics.py:94-158), this
+    iterates the standard updates
+        f = eps*log(mu) - eps*LSE((g - C)/eps, axis=j)
+        g = eps*log(nu) - eps*LSE((f - C)/eps, axis=i)
+    to an actual doubly-stochastic plan (row/col marginal error ~1e-4 at
+    eps=1e-2, 200 iters) and returns sum(P*C). Costs are per-pair
+    max-normalized, so each value is a self-normalized relative transport
+    cost, comparable across any batch composition.
+    """
+    x = normalize_to_cube(_as_batched(x))
+    y = normalize_to_cube(_as_batched(y))
+    B, n, _ = x.shape
+    m = y.shape[1]
+    C = jnp.sqrt(square_distance(x, y) + 1e-12)
+    C = C / jnp.max(C, axis=(1, 2), keepdims=True)
+
+    log_mu = jnp.log(jnp.full((B, n, 1), 1.0 / n))
+    log_nu = jnp.log(jnp.full((B, 1, m), 1.0 / m))
+
+    def body(_, fg):
+        f, g = fg
+        f = epsilon * log_mu - epsilon * jax.scipy.special.logsumexp(
+            (g - C) / epsilon, axis=2, keepdims=True
+        )
+        g = epsilon * log_nu - epsilon * jax.scipy.special.logsumexp(
+            (f - C) / epsilon, axis=1, keepdims=True
+        )
+        return f, g
+
+    f, g = jax.lax.fori_loop(
+        0, max_iter, body,
+        (jnp.zeros((B, n, 1)), jnp.zeros((B, 1, m))),
+    )
+    P = jnp.exp((f + g - C) / epsilon)
+    return jnp.sum(P * C, axis=(1, 2))
+
+
+def pairwise_emd_matrix(
+    gen: jnp.ndarray,
+    ref: jnp.ndarray,
+    block: int = 1,
+    epsilon: float = 1e-2,
+    max_iter: int = 200,
+) -> jnp.ndarray:
+    """All-pairs Sinkhorn-EMD matrix between two cloud sets, (G, R).
+
+    Device-resident second statistic for the conditional confusion
+    matrices (the CD has a known failure mode there: a diffuse rod
+    CD-matches rod+head better than the clean rod; EMD's mass-balanced
+    transport does not). Blocked over the gen axis: each row materializes
+    an (R, N, M) cost tensor, so keep block * R * N * M bounded
+    (subsample points for large sets).
+    """
+    R = ref.shape[0]
+
+    def one_gen(g):
+        return _sinkhorn_ot_pairs(
+            jnp.broadcast_to(g[None], (R,) + g.shape), ref,
+            epsilon=epsilon, max_iter=max_iter,
+        )
 
     return jax.lax.map(one_gen, gen, batch_size=block)
 

@@ -29,8 +29,23 @@ TILE_N = 256
 TILE_M = 512
 
 
-def _min_dists_kernel(x_ref, y_ref, min_xy_ref, min_yx_ref):
-    """One (b, i) step: x tile (3, TILE_N) vs the full y (3, M)."""
+def _argmin_along(d2, mins, axis):
+    """Lowest-index argmin given precomputed mins (mosaic-friendly: iota +
+    where + min instead of a fused argmin reduction). 2**30 is the
+    tie-break sentinel — larger than any real point index."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, axis)
+    keep = d2 == jnp.expand_dims(mins, axis)
+    return jnp.min(jnp.where(keep, ids, 2**30), axis=axis)
+
+
+def _min_dists_kernel(x_ref, y_ref, min_xy_ref, min_yx_ref, idx_xy_ref,
+                      idx_yx_ref):
+    """One (b, i) step: x tile (3, TILE_N) vs the full y (3, M).
+
+    Alongside the running min distances, tracks the *global* argmin indices
+    (lowest-index tie-break, matching jnp.argmin): the VJP scatters
+    gradients to exactly these matched pairs.
+    """
     i = pl.program_id(1)
     x = x_ref[0]  # (3, TILE_N)
     M = y_ref.shape[2]
@@ -38,23 +53,41 @@ def _min_dists_kernel(x_ref, y_ref, min_xy_ref, min_yx_ref):
     @pl.when(i == 0)
     def _():
         min_yx_ref[0, 0, :] = jnp.full((M,), jnp.inf, jnp.float32)
+        idx_yx_ref[0, 0, :] = jnp.zeros((M,), jnp.int32)
 
     n_chunks = M // TILE_M
 
-    def body(c, row_min):
+    def body(c, carry):
+        row_min, row_arg = carry
         y = y_ref[0, :, pl.ds(c * TILE_M, TILE_M)]  # (3, TILE_M)
         # Direct squared distances — exact in f32. (3, TILE_N, TILE_M)
         diff = x[:, :, None] - y[:, None, :]
         d2 = jnp.sum(diff * diff, axis=0)  # (TILE_N, TILE_M)
-        col_min = jnp.min(d2, axis=0)  # (TILE_M,)
-        cur = min_yx_ref[0, 0, pl.ds(c * TILE_M, TILE_M)]
-        min_yx_ref[0, 0, pl.ds(c * TILE_M, TILE_M)] = jnp.minimum(cur, col_min)
-        return jnp.minimum(row_min, jnp.min(d2, axis=1))
 
-    row_min = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.full((TILE_N,), jnp.inf, jnp.float32)
+        col_min = jnp.min(d2, axis=0)  # (TILE_M,)
+        col_arg = _argmin_along(d2, col_min, 0) + i * TILE_N
+        sl = pl.ds(c * TILE_M, TILE_M)
+        cur = min_yx_ref[0, 0, sl]
+        # Strict < keeps the earlier (lower-index) x tile on ties.
+        better = col_min < cur
+        min_yx_ref[0, 0, sl] = jnp.where(better, col_min, cur)
+        idx_yx_ref[0, 0, sl] = jnp.where(better, col_arg, idx_yx_ref[0, 0, sl])
+
+        chunk_min = jnp.min(d2, axis=1)  # (TILE_N,)
+        chunk_arg = _argmin_along(d2, chunk_min, 1) + c * TILE_M
+        upd = chunk_min < row_min
+        return (
+            jnp.where(upd, chunk_min, row_min),
+            jnp.where(upd, chunk_arg, row_arg),
+        )
+
+    row_min, row_arg = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.full((TILE_N,), jnp.inf, jnp.float32),
+         jnp.zeros((TILE_N,), jnp.int32)),
     )
     min_xy_ref[0, 0, :] = row_min
+    idx_xy_ref[0, 0, :] = row_arg
 
 
 def _pad_points(p: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
@@ -72,12 +105,14 @@ def _pad_points(p: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def min_dists_pallas(
+def min_dists_with_args_pallas(
     x: jnp.ndarray, y: jnp.ndarray, interpret: bool = False
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(min_xy, min_yx): per-point nearest-neighbor *squared* distances.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(min_xy, min_yx, idx_xy, idx_yx): nearest-neighbor *squared*
+    distances both ways plus the matched indices (lowest-index tie-break).
 
-    x: (B, N, 3), y: (B, M, 3) float32. Returns ((B, N), (B, M)).
+    x: (B, N, 3), y: (B, M, 3) float32.
+    Returns ((B, N) f32, (B, M) f32, (B, N) i32, (B, M) i32).
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
@@ -91,7 +126,7 @@ def min_dists_pallas(
     grid = (B, N // TILE_N)
     # Outputs carry a unit middle axis so the block's last-two dims satisfy
     # the TPU tiling rule (second-to-last == full array dim of 1).
-    min_xy, min_yx = pl.pallas_call(
+    min_xy, min_yx, idx_xy, idx_yx = pl.pallas_call(
         _min_dists_kernel,
         grid=grid,
         in_specs=[
@@ -101,14 +136,80 @@ def min_dists_pallas(
         out_specs=[
             pl.BlockSpec((1, 1, TILE_N), lambda b, i: (b, 0, i)),
             pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, TILE_N), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, N), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
         ],
         interpret=interpret,
     )(xt, yt)
-    return min_xy[:, 0, :n], min_yx[:, 0, :m]
+    return (
+        min_xy[:, 0, :n], min_yx[:, 0, :m],
+        idx_xy[:, 0, :n], idx_yx[:, 0, :m],
+    )
+
+
+def min_dists_pallas(
+    x: jnp.ndarray, y: jnp.ndarray, interpret: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(min_xy, min_yx): per-point nearest-neighbor *squared* distances.
+
+    x: (B, N, 3), y: (B, M, 3) float32. Returns ((B, N), (B, M)).
+    """
+    d_xy, d_yx, _, _ = min_dists_with_args_pallas(x, y, interpret=interpret)
+    return d_xy, d_yx
+
+
+@functools.lru_cache(maxsize=None)
+def _make_min_dists_vjp(interpret: bool):
+    """Differentiable streaming min-dists: custom VJP around the kernel.
+
+    min-distance is piecewise smooth; its true (sub)gradient routes through
+    the matched pair only: d(min_j |x_i-y_j|^2)/dx_i = 2(x_i - y_{j*}) and
+    -2(x_i - y_{j*}) scattered into y_{j*}. The kernel already visits every
+    tile, so the forward pass emits the argmins for free and the backward
+    pass is two gathers + two scatter-adds — O(B(N+M)) HBM, never the
+    (B, N, M) matrix the XLA autodiff path materializes through fwd+bwd.
+    """
+
+    @jax.custom_vjp
+    def min_dists(x, y):
+        d_xy, d_yx, _, _ = min_dists_with_args_pallas(x, y, interpret=interpret)
+        return d_xy, d_yx
+
+    def fwd(x, y):
+        d_xy, d_yx, i_xy, i_yx = min_dists_with_args_pallas(
+            x, y, interpret=interpret
+        )
+        return (d_xy, d_yx), (x, y, i_xy, i_yx)
+
+    def bwd(res, cot):
+        x, y, i_xy, i_yx = res
+        g_xy, g_yx = cot  # (B, N), (B, M)
+        B = x.shape[0]
+        b_idx = jnp.arange(B)[:, None]
+        y_star = jnp.take_along_axis(y, i_xy[..., None], axis=1)  # (B, N, 3)
+        x_star = jnp.take_along_axis(x, i_yx[..., None], axis=1)  # (B, M, 3)
+        pull_x = 2.0 * g_xy[..., None] * (x - y_star)  # d|x-y*|^2/dx
+        pull_y = 2.0 * g_yx[..., None] * (y - x_star)  # d|y-x*|^2/dy
+        dx = pull_x.at[b_idx, i_yx].add(-pull_y)
+        dy = pull_y.at[b_idx, i_xy].add(-pull_x)
+        return dx, dy
+
+    min_dists.defvjp(fwd, bwd)
+    return min_dists
+
+
+def min_dists_vjp(
+    x: jnp.ndarray, y: jnp.ndarray, interpret: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiable (min_xy, min_yx) squared NN distances (see
+    _make_min_dists_vjp). Safe under jax.grad/value_and_grad."""
+    return _make_min_dists_vjp(bool(interpret))(x, y)
 
 
 def chamfer_distance_pallas(
@@ -118,7 +219,11 @@ def chamfer_distance_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Chamfer distance via the streaming Pallas kernel (metrics.py:23-47
-    semantics: cube-normalize, Euclidean mins both ways, mean+mean, x1e3)."""
+    semantics: cube-normalize, Euclidean mins both ways, mean+mean, x1e3).
+
+    Differentiable: routes through the custom-VJP min-dists, so VAE
+    training losses (networks.py:1300, 1631) can use the streaming kernel
+    on TPU instead of paying the O(N*M)-HBM XLA path through fwd+bwd."""
     from shapegen_tpu.ops.geometry import normalize_to_cube
 
     if x.ndim == 2:
@@ -127,5 +232,5 @@ def chamfer_distance_pallas(
         y = y[None]
     x = normalize_to_cube(x)
     y = normalize_to_cube(y)
-    d_xy, d_yx = min_dists_pallas(x, y, interpret=interpret)
+    d_xy, d_yx = min_dists_vjp(x, y, interpret=interpret)
     return (jnp.mean(jnp.sqrt(d_xy)) + jnp.mean(jnp.sqrt(d_yx))) * scaling_factor

@@ -92,6 +92,33 @@ def test_hungarian_emd_permutation_invariant(rng):
     assert emd < 1e-6
 
 
+def test_pairwise_emd_matrix_separates_shapes(rng):
+    """The (G, R) Sinkhorn-EMD matrix: self-pairs cost ~0 and each shape
+    family's own column is its row-min (the conditional confusion-matrix
+    second statistic)."""
+    n = 64
+    rods = np.zeros((3, n, 3), np.float32)
+    rods[:, :, 0] = np.linspace(-1, 1, n)  # mass along one axis
+    rods += rng.standard_normal(rods.shape).astype(np.float32) * 0.02
+    balls = rng.standard_normal((3, n, 3)).astype(np.float32) * 0.5
+
+    gen = jnp.asarray(np.concatenate([rods[:2], balls[:2]]))
+    ref = jnp.asarray(np.concatenate([rods[2:], balls[2:]]))
+    d = np.asarray(metrics.pairwise_emd_matrix(gen, ref))
+    assert d.shape == (4, 2)
+    assert np.isfinite(d).all() and (d >= 0).all()
+    # Rod gens match the rod ref better; ball gens match the ball ref.
+    assert d[0, 0] < d[0, 1] and d[1, 0] < d[1, 1]
+    assert d[2, 1] < d[2, 0] and d[3, 1] < d[3, 0]
+
+    # A cloud against a permutation of itself transports for ~nothing.
+    perm = rng.permutation(n)
+    same = np.asarray(metrics.pairwise_emd_matrix(
+        gen[:1], jnp.asarray(np.asarray(gen[:1])[:, perm])
+    ))
+    assert same[0, 0] < 0.05
+
+
 def test_sinkhorn_matches_reference_equations(rng):
     """Fidelity test: our lax.while_loop Sinkhorn reproduces the reference's
     exact update equations (metrics.py:94-158) stepped in numpy.
