@@ -10,7 +10,12 @@ with classifier-free guidance, and reports:
     the row minimum when the model has learned the class conditioning);
   * per-class MMD-CD (mean over class references of the min CD to any
     same-class generated cloud) for every (gen-class, ref-class) pair;
-  * per-class COV-CD and 1-NNA against the own-class reference set.
+  * per-class COV-CD and 1-NNA against the own-class reference set;
+  * the same confusion matrices under a SECOND statistic — device-resident
+    Sinkhorn EMD (mean-EMD and MMD-EMD, point-subsampled) — to separate
+    CD-metric artifacts from real conditioning failures (a diffuse rod
+    CD-matches rod+head better than the clean rod; mass-balanced transport
+    does not have that failure mode).
 
 ``--guidance`` takes a LIST of scales and the whole eval repeats per scale;
 guidance 0.0 is the pure-conditional ablation (no unconditional pass mixed
@@ -51,7 +56,24 @@ def parse_args():
                    help="cap on reference clouds per class")
     p.add_argument("--seed", type=int, default=24)
     p.add_argument("--out", default=None, help="write JSON evidence here")
+    p.add_argument("--no-emd", dest="emd", action="store_false", default=True,
+                   help="skip the Sinkhorn-EMD second-statistic matrices")
+    p.add_argument("--emd-points", type=int, default=512,
+                   help="per-cloud point subsample for the EMD matrices "
+                        "(Sinkhorn cost is O(N*M) per pair per iteration)")
     return p.parse_args()
+
+
+def subsample_points(clouds: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Seeded per-cloud random point subset, (B, k, 3) — bounds the
+    Sinkhorn cost matrices while preserving each cloud's geometry."""
+    if k >= clouds.shape[1]:
+        return clouds
+    rng = np.random.default_rng(seed)
+    out = np.empty((clouds.shape[0], k, clouds.shape[2]), clouds.dtype)
+    for i, c in enumerate(clouds):
+        out[i] = c[rng.choice(c.shape[0], size=k, replace=False)]
+    return out
 
 
 def reference_set(data_dir, category, num_points, max_refs):
@@ -109,6 +131,29 @@ def main():
     for i, ci in enumerate(cats0):
         row = " ".join(f"{ref_sep[i, j]:.4f}" for j in range(len(cats0)))
         print(f"  {ci}: {row}  (diag is row-min: {ref_sep[i, i] == ref_sep[i].min()})")
+
+    # Same data ceiling under the second statistic (Sinkhorn EMD): if a
+    # class pair is not EMD-separable on real data, a generator can't be
+    # blamed for missing it under EMD either.
+    refs_emd, ref_sep_emd = {}, None
+    if args.emd:
+        for cat in cats0:
+            refs_emd[cat] = subsample_points(refs[cat], args.emd_points, args.seed)
+        ref_sep_emd = np.zeros((len(cats0), len(cats0)))
+        for i, ci in enumerate(cats0):
+            for j, cj in enumerate(cats0):
+                d = np.asarray(jax.device_get(
+                    metrics.pairwise_emd_matrix(refs_emd[ci], refs_emd[cj])
+                ))
+                if i == j:
+                    d = d + np.diag(np.full(d.shape[0], np.inf))
+                ref_sep_emd[i, j] = float(np.min(d, axis=1).mean())
+        print("\nReference-vs-reference separability under Sinkhorn EMD "
+              f"({args.emd_points} pts; diag=LOO):")
+        for i, ci in enumerate(cats0):
+            row = " ".join(f"{ref_sep_emd[i, j]:.4f}" for j in range(len(cats0)))
+            print(f"  {ci}: {row}  (diag is row-min: "
+                  f"{ref_sep_emd[i, i] == ref_sep_emd[i].min()})")
 
     # --- label probe: does the model's eps-prediction use the label?
     # Fixed noise/t on real clouds: loss with TRUE labels should beat loss
@@ -188,8 +233,25 @@ def main():
                         jax.device_get(metrics.one_nna(gens[gc], refs[rc]))
                     )
 
+        mean_emd = mmd_emd = None
+        if args.emd:
+            mean_emd = np.zeros((len(cats), len(cats)))
+            mmd_emd = np.zeros((len(cats), len(cats)))
+            for i, gc in enumerate(cats):
+                g_sub = subsample_points(gens[gc], args.emd_points, args.seed)
+                for j, rc in enumerate(cats):
+                    d = np.asarray(jax.device_get(
+                        metrics.pairwise_emd_matrix(g_sub, refs_emd[rc])
+                    ))
+                    mean_emd[i, j] = float(d.mean())
+                    mmd_emd[i, j] = float(d.min(axis=0).mean())
+
         print(table(mean_cd, f"Mean pairwise CD (guidance {guidance})"))
         print(table(mmd_cd, f"MMD-CD (guidance {guidance})"))
+        if args.emd:
+            print(table(mean_emd, f"Mean pairwise Sinkhorn EMD "
+                                  f"(guidance {guidance})"))
+            print(table(mmd_emd, f"MMD-EMD (guidance {guidance})"))
         print("\nCOV-CD own-class:",
               {c: round(v, 3) for c, v in cov_own.items()})
         print("1-NNA own-class (0.5 ideal, 1.0 = fully distinguishable):",
@@ -200,7 +262,7 @@ def main():
         ]
         print(f"guidance {guidance}: own-class mean-CD row-min "
               f"{sum(sep)}/{len(cats)}; MMD-CD row-min {sum(sep_mmd)}/{len(cats)}")
-        results.append({
+        rec = {
             "guidance": guidance,
             "mean_cd": mean_cd.tolist(),
             "mmd_cd": mmd_cd.tolist(),
@@ -208,7 +270,27 @@ def main():
             "one_nna_own": nna_own,
             "own_class_separates_mean": sep,
             "own_class_separates_mmd": sep_mmd,
-        })
+        }
+        if args.emd:
+            sep_emd = [
+                bool(mean_emd[i, i] == mean_emd[i].min())
+                for i in range(len(cats))
+            ]
+            sep_mmd_emd = [
+                bool(mmd_emd[i, i] == mmd_emd[i].min())
+                for i in range(len(cats))
+            ]
+            print(f"guidance {guidance}: own-class mean-EMD row-min "
+                  f"{sum(sep_emd)}/{len(cats)}; MMD-EMD row-min "
+                  f"{sum(sep_mmd_emd)}/{len(cats)}")
+            rec.update({
+                "mean_emd": mean_emd.tolist(),
+                "mmd_emd": mmd_emd.tolist(),
+                "emd_points": args.emd_points,
+                "own_class_separates_mean_emd": sep_emd,
+                "own_class_separates_mmd_emd": sep_mmd_emd,
+            })
+        results.append(rec)
 
     if args.out:
         with open(args.out, "w") as f:
@@ -220,6 +302,9 @@ def main():
                     "num_steps": args.num_steps,
                     "sampler": args.sampler,
                     "ref_separability": ref_sep.tolist(),
+                    "ref_separability_emd": (
+                        ref_sep_emd.tolist() if ref_sep_emd is not None else None
+                    ),
                     "label_probe": probe_losses,
                     "per_guidance": results,
                 },
