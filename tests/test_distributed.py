@@ -43,6 +43,10 @@ def _clean_env():
               "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
         env.pop(k, None)
     env["PALLAS_AXON_POOL_IPS"] = ""  # never touch the TPU tunnel from tests
+    # Workers must import shapegen_tpu regardless of how pytest was invoked
+    # (python adds the *script's* dir to sys.path, not the cwd).
+    prior = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + (os.pathsep + prior if prior else "")
     return env
 
 

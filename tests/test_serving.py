@@ -54,6 +54,10 @@ def test_export_runs_in_consumer_process_without_model_code(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
+    # The consumer must import shapegen_tpu.serving regardless of how pytest
+    # was invoked (python adds the script's dir to sys.path, not the cwd).
+    prior = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + (os.pathsep + prior if prior else "")
     out_path = tmp_path / "consumer_out.npy"
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests", "serving_consumer.py"),
