@@ -42,14 +42,18 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "cpu_baseline.j
 # subprocess behind a cheap backend probe; on failure the probe+measure
 # cycle retries with backoff. All knobs are env-overridable so tests can
 # simulate failure cheaply.
-BENCH_ATTEMPTS = int(os.environ.get("SHAPEGEN_BENCH_ATTEMPTS", "4"))
+BENCH_ATTEMPTS = max(1, int(os.environ.get("SHAPEGEN_BENCH_ATTEMPTS", "4")))
 BENCH_BACKOFF = [
     float(s)
     for s in os.environ.get("SHAPEGEN_BENCH_BACKOFF_SECONDS", "30,60,120").split(",")
     if s.strip()
-]
+] or [30.0]
 PROBE_TIMEOUT = float(os.environ.get("SHAPEGEN_BENCH_PROBE_TIMEOUT", "300"))
-WORKER_TIMEOUT = float(os.environ.get("SHAPEGEN_BENCH_WORKER_TIMEOUT", "2400"))
+WORKER_TIMEOUT = float(os.environ.get("SHAPEGEN_BENCH_WORKER_TIMEOUT", "3600"))
+# Killing a TPU client can jam the remote grant for minutes (CLAUDE.md);
+# after a timeout-kill, wait at least this long before touching the tunnel
+# again so retries don't burn against a self-inflicted jam.
+JAM_COOLDOWN = float(os.environ.get("SHAPEGEN_BENCH_JAM_COOLDOWN", "180"))
 
 
 def _build():
@@ -169,6 +173,11 @@ def cpu_baseline():
     return data
 
 
+class _KilledClient(RuntimeError):
+    """A TPU-client subprocess was killed on timeout; the remote grant may
+    be jammed for minutes, so retries must cool down first."""
+
+
 def _subprocess_line(args, timeout):
     """Run [python, *args] in this directory; return its last stdout line.
 
@@ -182,7 +191,8 @@ def _subprocess_line(args, timeout):
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
     except subprocess.TimeoutExpired:
-        raise RuntimeError(f"timed out after {timeout:.0f}s: {args}")
+        # The kill may have jammed the remote grant — tell the retry loop.
+        raise _KilledClient(f"timed out after {timeout:.0f}s: {args}")
     if out.returncode != 0 or not out.stdout.strip():
         tail = (out.stderr or "").strip().splitlines()[-3:]
         raise RuntimeError(f"rc={out.returncode}: {' | '.join(tail) or 'no output'}")
@@ -214,13 +224,18 @@ def measure_tpu_with_retry():
     """Probe-then-measure with bounded backoff across tunnel outages."""
     errors = []
     t_start = time.time()
+    killed_last = False
     for attempt in range(BENCH_ATTEMPTS):
         if attempt:
-            time.sleep(BENCH_BACKOFF[min(attempt - 1, len(BENCH_BACKOFF) - 1)])
+            wait = BENCH_BACKOFF[min(attempt - 1, len(BENCH_BACKOFF) - 1)]
+            if killed_last:
+                wait = max(wait, JAM_COOLDOWN)
+            time.sleep(wait)
         try:
             _probe_backend()
             return _measure_tpu_once()
         except Exception as e:  # noqa: BLE001 — retry loop boundary
+            killed_last = isinstance(e, _KilledClient)
             errors.append(str(e)[:200])
             print(f"bench attempt {attempt + 1}/{BENCH_ATTEMPTS} failed: {e}",
                   file=sys.stderr)

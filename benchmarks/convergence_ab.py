@@ -69,7 +69,7 @@ def run_torch(oracle, ds, train_idx, val_idx, args):
             np.stack([ds[i] for i in idx]), dtype=torch.float32
         )
 
-    def eps_loss(points, train):
+    def eps_loss(points):
         t = torch.rand(points.shape[0], generator=g)
         eps = torch.randn(points.shape, generator=g)
         nr, sr = torch_cosine_rates(t)
@@ -85,7 +85,7 @@ def run_torch(oracle, ds, train_idx, val_idx, args):
         tr_losses = []
         for s in range(0, len(train_idx), B):
             batch = batch_points(train_idx[perm[s : s + B]])
-            loss = eps_loss(batch, train=True)
+            loss = eps_loss(batch)
             opt.zero_grad()
             loss.backward()
             opt.step()
@@ -95,7 +95,7 @@ def run_torch(oracle, ds, train_idx, val_idx, args):
         with torch.no_grad():
             for s in range(0, len(val_idx), B):
                 batch = batch_points(val_idx[s : s + B])
-                va_losses.append(float(eps_loss(batch, train=False)))
+                va_losses.append(float(eps_loss(batch)))
         entry = {
             "train_loss": float(np.mean(tr_losses)),
             "val_loss": float(np.mean(va_losses)),

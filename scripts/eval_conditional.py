@@ -141,13 +141,18 @@ def main():
             refs_emd[cat] = subsample_points(refs[cat], args.emd_points, args.seed)
         ref_sep_emd = np.zeros((len(cats0), len(cats0)))
         for i, ci in enumerate(cats0):
-            for j, cj in enumerate(cats0):
+            # Sinkhorn EMD is symmetric (uniform marginals, symmetric cost):
+            # d(ci, cj) = d(cj, ci).T, so only the upper triangle hits the
+            # device — same trick as the CD loop above.
+            for j, cj in enumerate(cats0[i:], start=i):
                 d = np.asarray(jax.device_get(
                     metrics.pairwise_emd_matrix(refs_emd[ci], refs_emd[cj])
                 ))
                 if i == j:
                     d = d + np.diag(np.full(d.shape[0], np.inf))
                 ref_sep_emd[i, j] = float(np.min(d, axis=1).mean())
+                if i != j:
+                    ref_sep_emd[j, i] = float(np.min(d.T, axis=1).mean())
         print("\nReference-vs-reference separability under Sinkhorn EMD "
               f"({args.emd_points} pts; diag=LOO):")
         for i, ci in enumerate(cats0):

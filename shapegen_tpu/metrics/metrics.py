@@ -228,16 +228,20 @@ def _sinkhorn_ot_pairs(
         f = eps*log(mu) - eps*LSE((g - C)/eps, axis=j)
         g = eps*log(nu) - eps*LSE((f - C)/eps, axis=i)
     to an actual doubly-stochastic plan (row/col marginal error ~1e-4 at
-    eps=1e-2, 200 iters) and returns sum(P*C). Costs are per-pair
-    max-normalized, so each value is a self-normalized relative transport
-    cost, comparable across any batch composition.
+    eps=1e-2, 200 iters) and returns sum(P*C). Costs are normalized by the
+    CONSTANT cube diagonal 2*sqrt(3) (both clouds are cube-normalized, so
+    no pairwise distance can exceed it): every entry is the same fixed
+    rescale of the raw transport cost, so values are directly comparable
+    across pairs/classes — a per-pair max would rescale each entry by its
+    own geometry-dependent factor and could invert confusion-matrix
+    row-min comparisons.
     """
     x = normalize_to_cube(_as_batched(x))
     y = normalize_to_cube(_as_batched(y))
     B, n, _ = x.shape
     m = y.shape[1]
     C = jnp.sqrt(square_distance(x, y) + 1e-12)
-    C = C / jnp.max(C, axis=(1, 2), keepdims=True)
+    C = C / (2.0 * jnp.sqrt(3.0))
 
     log_mu = jnp.log(jnp.full((B, n, 1), 1.0 / n))
     log_nu = jnp.log(jnp.full((B, 1, m), 1.0 / m))

@@ -38,56 +38,65 @@ def _argmin_along(d2, mins, axis):
     return jnp.min(jnp.where(keep, ids, 2**30), axis=axis)
 
 
-def _min_dists_kernel(x_ref, y_ref, min_xy_ref, min_yx_ref, idx_xy_ref,
-                      idx_yx_ref):
+def _make_min_dists_kernel(with_args: bool):
     """One (b, i) step: x tile (3, TILE_N) vs the full y (3, M).
 
-    Alongside the running min distances, tracks the *global* argmin indices
+    ``with_args=True`` additionally tracks the *global* argmin indices
     (lowest-index tie-break, matching jnp.argmin): the VJP scatters
-    gradients to exactly these matched pairs.
+    gradients to exactly these matched pairs. Forward-only eval paths
+    use ``with_args=False`` and skip the iota/compare/select index work
+    and the two int32 HBM outputs entirely.
     """
-    i = pl.program_id(1)
-    x = x_ref[0]  # (3, TILE_N)
-    M = y_ref.shape[2]
 
-    @pl.when(i == 0)
-    def _():
-        min_yx_ref[0, 0, :] = jnp.full((M,), jnp.inf, jnp.float32)
-        idx_yx_ref[0, 0, :] = jnp.zeros((M,), jnp.int32)
+    def kernel(x_ref, y_ref, min_xy_ref, min_yx_ref, *idx_refs):
+        i = pl.program_id(1)
+        x = x_ref[0]  # (3, TILE_N)
+        M = y_ref.shape[2]
 
-    n_chunks = M // TILE_M
+        @pl.when(i == 0)
+        def _():
+            min_yx_ref[0, 0, :] = jnp.full((M,), jnp.inf, jnp.float32)
+            if with_args:
+                idx_refs[1][0, 0, :] = jnp.zeros((M,), jnp.int32)
 
-    def body(c, carry):
-        row_min, row_arg = carry
-        y = y_ref[0, :, pl.ds(c * TILE_M, TILE_M)]  # (3, TILE_M)
-        # Direct squared distances — exact in f32. (3, TILE_N, TILE_M)
-        diff = x[:, :, None] - y[:, None, :]
-        d2 = jnp.sum(diff * diff, axis=0)  # (TILE_N, TILE_M)
+        n_chunks = M // TILE_M
 
-        col_min = jnp.min(d2, axis=0)  # (TILE_M,)
-        col_arg = _argmin_along(d2, col_min, 0) + i * TILE_N
-        sl = pl.ds(c * TILE_M, TILE_M)
-        cur = min_yx_ref[0, 0, sl]
-        # Strict < keeps the earlier (lower-index) x tile on ties.
-        better = col_min < cur
-        min_yx_ref[0, 0, sl] = jnp.where(better, col_min, cur)
-        idx_yx_ref[0, 0, sl] = jnp.where(better, col_arg, idx_yx_ref[0, 0, sl])
+        def body(c, carry):
+            row_min, row_arg = carry
+            y = y_ref[0, :, pl.ds(c * TILE_M, TILE_M)]  # (3, TILE_M)
+            # Direct squared distances — exact in f32. (3, TILE_N, TILE_M)
+            diff = x[:, :, None] - y[:, None, :]
+            d2 = jnp.sum(diff * diff, axis=0)  # (TILE_N, TILE_M)
 
-        chunk_min = jnp.min(d2, axis=1)  # (TILE_N,)
-        chunk_arg = _argmin_along(d2, chunk_min, 1) + c * TILE_M
-        upd = chunk_min < row_min
-        return (
-            jnp.where(upd, chunk_min, row_min),
-            jnp.where(upd, chunk_arg, row_arg),
+            col_min = jnp.min(d2, axis=0)  # (TILE_M,)
+            sl = pl.ds(c * TILE_M, TILE_M)
+            cur = min_yx_ref[0, 0, sl]
+            # Strict < keeps the earlier (lower-index) x tile on ties.
+            better = col_min < cur
+            min_yx_ref[0, 0, sl] = jnp.where(better, col_min, cur)
+            if with_args:
+                col_arg = _argmin_along(d2, col_min, 0) + i * TILE_N
+                idx_refs[1][0, 0, sl] = jnp.where(
+                    better, col_arg, idx_refs[1][0, 0, sl]
+                )
+
+            chunk_min = jnp.min(d2, axis=1)  # (TILE_N,)
+            upd = chunk_min < row_min
+            if with_args:
+                chunk_arg = _argmin_along(d2, chunk_min, 1) + c * TILE_M
+                row_arg = jnp.where(upd, chunk_arg, row_arg)
+            return (jnp.where(upd, chunk_min, row_min), row_arg)
+
+        row_min, row_arg = jax.lax.fori_loop(
+            0, n_chunks, body,
+            (jnp.full((TILE_N,), jnp.inf, jnp.float32),
+             jnp.zeros((TILE_N,), jnp.int32)),
         )
+        min_xy_ref[0, 0, :] = row_min
+        if with_args:
+            idx_refs[0][0, 0, :] = row_arg
 
-    row_min, row_arg = jax.lax.fori_loop(
-        0, n_chunks, body,
-        (jnp.full((TILE_N,), jnp.inf, jnp.float32),
-         jnp.zeros((TILE_N,), jnp.int32)),
-    )
-    min_xy_ref[0, 0, :] = row_min
-    idx_xy_ref[0, 0, :] = row_arg
+    return kernel
 
 
 def _pad_points(p: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
@@ -104,16 +113,8 @@ def _pad_points(p: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
     return jnp.concatenate([p, pad], axis=1), n
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def min_dists_with_args_pallas(
-    x: jnp.ndarray, y: jnp.ndarray, interpret: bool = False
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(min_xy, min_yx, idx_xy, idx_yx): nearest-neighbor *squared*
-    distances both ways plus the matched indices (lowest-index tie-break).
-
-    x: (B, N, 3), y: (B, M, 3) float32.
-    Returns ((B, N) f32, (B, M) f32, (B, N) i32, (B, M) i32).
-    """
+@functools.partial(jax.jit, static_argnames=("with_args", "interpret"))
+def _min_dists_impl(x, y, with_args: bool, interpret: bool):
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     B = x.shape[0]
@@ -126,31 +127,54 @@ def min_dists_with_args_pallas(
     grid = (B, N // TILE_N)
     # Outputs carry a unit middle axis so the block's last-two dims satisfy
     # the TPU tiling rule (second-to-last == full array dim of 1).
-    min_xy, min_yx, idx_xy, idx_yx = pl.pallas_call(
-        _min_dists_kernel,
+    out_specs = [
+        pl.BlockSpec((1, 1, TILE_N), lambda b, i: (b, 0, i)),
+        pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, M), jnp.float32),
+    ]
+    if with_args:
+        out_specs += [
+            pl.BlockSpec((1, 1, TILE_N), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, 1, N), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+        ]
+    outs = pl.pallas_call(
+        _make_min_dists_kernel(with_args),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 3, TILE_N), lambda b, i: (b, 0, i)),
             pl.BlockSpec((1, 3, M), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, TILE_N), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, TILE_N), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, M), lambda b, i: (b, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 1, N), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, M), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, N), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(xt, yt)
-    return (
-        min_xy[:, 0, :n], min_yx[:, 0, :m],
-        idx_xy[:, 0, :n], idx_yx[:, 0, :m],
-    )
+    if with_args:
+        min_xy, min_yx, idx_xy, idx_yx = outs
+        return (
+            min_xy[:, 0, :n], min_yx[:, 0, :m],
+            idx_xy[:, 0, :n], idx_yx[:, 0, :m],
+        )
+    min_xy, min_yx = outs
+    return min_xy[:, 0, :n], min_yx[:, 0, :m]
+
+
+def min_dists_with_args_pallas(
+    x: jnp.ndarray, y: jnp.ndarray, interpret: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(min_xy, min_yx, idx_xy, idx_yx): nearest-neighbor *squared*
+    distances both ways plus the matched indices (lowest-index tie-break).
+
+    x: (B, N, 3), y: (B, M, 3) float32.
+    Returns ((B, N) f32, (B, M) f32, (B, N) i32, (B, M) i32).
+    """
+    return _min_dists_impl(x, y, with_args=True, interpret=interpret)
 
 
 def min_dists_pallas(
@@ -159,9 +183,10 @@ def min_dists_pallas(
     """(min_xy, min_yx): per-point nearest-neighbor *squared* distances.
 
     x: (B, N, 3), y: (B, M, 3) float32. Returns ((B, N), (B, M)).
+    Distance-only kernel — eval hot paths (pairwise confusion matrices,
+    batched metrics) pay nothing for the VJP's index tracking.
     """
-    d_xy, d_yx, _, _ = min_dists_with_args_pallas(x, y, interpret=interpret)
-    return d_xy, d_yx
+    return _min_dists_impl(x, y, with_args=False, interpret=interpret)
 
 
 @functools.lru_cache(maxsize=None)

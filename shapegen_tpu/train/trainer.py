@@ -120,6 +120,32 @@ class Trainer:
         if self.tb is not None:
             self.tb.add_figure(tag, fig, global_step=epoch)
 
+    def _hook_view(self, state, batch=None, host_batch=None):
+        """What figure hooks may safely touch, as (state, batch).
+
+        Single-process: the live (possibly locally-sharded) state and the
+        device batch — everything is addressable, behavior unchanged.
+        Multi-process: figure hooks run on process 0 only (Lightning logs
+        rank-0 figures) and must never dispatch on non-fully-addressable
+        arrays (eager slicing/device_get of a pod-sharded global batch
+        raises, and a process-0-only jit over the pod-replicated state
+        would violate SPMD), so they get the host-local loader batch plus
+        a host-local copy of the state. Replication means every process's
+        local shard IS the full value, so the copy is a local device read
+        — no DCN traffic. Returns (None, None) on non-primary processes.
+        """
+        if jax.process_count() == 1:
+            return state, batch
+        if jax.process_index() != 0:
+            return None, None
+
+        def local(a):
+            if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                return np.asarray(a.addressable_data(0))
+            return a
+
+        return jax.tree_util.tree_map(local, state), host_batch
+
     def _device_batch(self, batch):
         """Host batch -> device(s); exact numerics on partial tail batches.
 
@@ -242,13 +268,18 @@ class Trainer:
             if (epoch + 1) % cfg.val_every_epochs == 0:
                 num_val_batches = len(val_loader)
                 for i, batch in enumerate(val_loader):
+                    host_batch = batch
                     batch = self._device_batch(batch)
                     v_rng = jax.random.fold_in(rng, 10_000_000 + epoch * 10_000 + i)
                     metrics = self._eval_step(state, batch, v_rng, epoch_dev)
                     for k, v in metrics.items():
                         val_metrics[k].append(v)
-                    for hook in self.val_batch_hooks:
-                        hook(self, state, epoch, i, num_val_batches, batch)
+                    if self.val_batch_hooks:
+                        h_state, h_batch = self._hook_view(state, batch, host_batch)
+                        if h_state is not None:
+                            for hook in self.val_batch_hooks:
+                                hook(self, h_state, epoch, i, num_val_batches,
+                                     h_batch)
 
             # ---- reduce + log (single host sync per epoch)
             epoch_metrics = {
@@ -313,8 +344,11 @@ class Trainer:
                     )
 
             # ---- user hooks (sample generation figures etc.)
-            for hook in self.epoch_end_hooks:
-                hook(self, state, epoch)
+            if self.epoch_end_hooks:
+                h_state, _ = self._hook_view(state)
+                if h_state is not None:
+                    for hook in self.epoch_end_hooks:
+                        hook(self, h_state, epoch)
 
             if profiling and epoch - start_epoch + 1 >= cfg.profile_epochs:
                 # Sync so the trace covers real device work, not just the

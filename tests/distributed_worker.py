@@ -157,8 +157,39 @@ def main():
         ckpt_dir=os.path.join(args.workdir, f"ck{args.process_id}"),
         ckpt_prefix="pod", tb_dir=None, save_top_k=1,
     )
-    trainer = Trainer(task2, cfg, mesh=mesh)
+
+    # Figure-hook pod-safety probe: hooks must fire on process 0 only, and
+    # what they receive must survive the exact ops the real figure hooks do
+    # (eager slicing + device_get of the batch, a hook-state forward —
+    # train_point_ddpm.py's reconstruction figures). On a pod the raw global
+    # batch/state would raise here; Trainer._hook_view localizes both.
+    hook_calls = {"val": 0, "epoch": 0}
+
+    def probe_val_hook(tr, h_state, epoch, batch_idx, num_val_batches, batch):
+        pts = batch[0] if isinstance(batch, (tuple, list)) else batch
+        mid = pts.shape[0] // 2
+        x = np.asarray(jax.device_get(pts[mid : mid + 1]))
+        assert x.shape[1:] == (NUM_POINTS, 3), x.shape
+        out = task2.sample3(
+            h_state, jnp.asarray(x), jnp.full((1,), 0.01), num_steps=2
+        )
+        assert np.isfinite(np.asarray(jax.device_get(out))).all()
+        hook_calls["val"] += 1
+
+    def probe_epoch_hook(tr, h_state, epoch):
+        hook_calls["epoch"] += 1
+
+    trainer = Trainer(
+        task2, cfg, mesh=mesh,
+        epoch_end_hooks=[probe_epoch_hook], val_batch_hooks=[probe_val_hook],
+    )
     final_state = trainer.fit(dm, resume_from=args.resume_from)
+    if args.num_processes > 1 and args.process_id != 0:
+        assert hook_calls == {"val": 0, "epoch": 0}, hook_calls
+    else:
+        # >=1, not ==epochs: a resumed fit runs only the remaining epochs.
+        assert hook_calls["val"] >= 1, hook_calls
+        assert hook_calls["epoch"] >= 1, hook_calls
     fit_params = flat_params(final_state.params)
 
     np.savez(
