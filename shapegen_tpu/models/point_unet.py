@@ -116,6 +116,18 @@ class PointUNetLarge(nn.Module):
         g = DenseBN(2048, dtype=self.dtype)(x4, train)
         g = DenseBN(4096, dtype=self.dtype)(g, train)
         g = jnp.max(g, axis=1, keepdims=True)  # (B, 1, 4096)
+        if self.num_classes is not None:
+            # Conditional-only global-pathway injection (extension): the
+            # decoder is driven mostly by this pooled global feature, which
+            # the per-stage additive injections cannot reach (the max-pool
+            # sits upstream of them); projecting the (time+class) embedding
+            # into it steers the dominant pathway directly and makes the
+            # learned conditioning strength robust across training runs.
+            # Named so the UNCONDITIONAL tree stays byte-identical.
+            g = g + nn.Dense(
+                g.shape[-1], name="cond_global", kernel_init=kaiming_out,
+                dtype=self.dtype,
+            )(t_emb)[:, None, :]
 
         r4 = nn.Dense(1024, kernel_init=kaiming_out, dtype=self.dtype)(x4)
         r3 = nn.Dense(512, kernel_init=kaiming_out, dtype=self.dtype)(x3)

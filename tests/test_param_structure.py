@@ -55,9 +55,11 @@ def test_conditional_only_adds_embed():
     vc = co.init(jax.random.PRNGKey(0), x, t, y=jnp.zeros((1,), jnp.int32),
                  train=False)
     # Same tree except TimeMLP gains an Embed_0 and the conditional-only
-    # per-decoder-stage injection heads appear (explicitly named so the
-    # auto-numbered unconditional modules keep their names).
-    cond_only = {"cond_dec4", "cond_dec3", "cond_dec2", "cond_dec1"}
+    # injection heads appear — four per-decoder-stage heads plus the
+    # global-pathway head (explicitly named so the auto-numbered
+    # unconditional modules keep their names).
+    cond_only = {"cond_dec4", "cond_dec3", "cond_dec2", "cond_dec1",
+                 "cond_global"}
     assert sorted(set(vc["params"].keys()) - cond_only) == sorted(
         vu["params"].keys()
     )
