@@ -207,3 +207,20 @@ def test_trainer_profile_dir_captures_trace(data_dir, tmp_path):
     plane = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     assert plane, f"no xplane.pb under {trace_dir}"
+
+
+def test_hook_view_single_process_is_identity(data_dir, tmp_path):
+    """Single-process figure hooks must see EXACTLY the live objects
+    (trainer.py:_hook_view): the state as-is and the device batch as-is —
+    the pod-only localization (process-0 gating, host-local copies) must
+    not leak into the single-process path the cadence tests pin."""
+    task = tasks.PointDiffusionTask(
+        models.SimplePointUNet(dim=32, time_dim=32), num_points=32, lr=1e-3
+    )
+    cfg = TrainerConfig(max_epochs=1, ckpt_dir=str(tmp_path / "ck"),
+                        tb_dir=None, save_top_k=0)
+    trainer = Trainer(task, cfg)
+    state = object()  # sentinels: _hook_view must not touch them
+    batch = object()
+    h_state, h_batch = trainer._hook_view(state, batch, host_batch=None)
+    assert h_state is state and h_batch is batch
