@@ -37,6 +37,14 @@ def parse_args():
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--task", default="simple_pointnet",
                    choices=["simple_pointnet", "pointnet"])
+    p.add_argument("--loss-only", action="store_true", default=False,
+                   help="measure value_and_grad of the chamfer loss alone "
+                        "(isolates the kernel from the model-dominated "
+                        "train step; also the regime where the XLA path's "
+                        "(B,N,M) tensor can exceed HBM at large N)")
+    p.add_argument("--loss-iters", type=int, default=16,
+                   help="chamfer-grad steps chained inside one program "
+                        "(amortizes the ~30 ms per-dispatch tunnel cost)")
     p.add_argument("--out", default=None)
     return p.parse_args()
 
@@ -80,16 +88,53 @@ def measure(args, use_pallas: bool) -> float:
     return best
 
 
+def measure_loss_only(args, use_pallas: bool) -> float:
+    """Per-iteration time of value_and_grad of the chamfer loss alone.
+
+    Chains --loss-iters gradient steps inside ONE jitted lax.scan (each
+    step feeds the next through a tiny update, so nothing is dead-code
+    eliminated) and divides by the count: per-program dispatch through the
+    axon tunnel costs ~30 ms, which would otherwise swamp the kernel
+    difference at small N."""
+    K = args.loss_iters
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (args.batch, args.num_points, 3))
+    y = jax.random.normal(
+        jax.random.fold_in(key, 1), (args.batch, args.num_points, 3)
+    )
+
+    @jax.jit
+    def loop(x, y):
+        def body(x, _):
+            v, g = jax.value_and_grad(
+                lambda x: M.chamfer_distance(x, y, use_pallas=use_pallas)
+            )(x)
+            return x - 1e-6 * g, v
+        return jax.lax.scan(body, x, None, length=K)
+
+    xo, vs = loop(x, y)  # compile
+    sync(vs)
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        xo, vs = loop(x, y)
+        sync(vs)
+        best = min(best, time.perf_counter() - t0)
+    return best / K
+
+
 def main():
     args = parse_args()
-    ms_xla = measure(args, use_pallas=False) * 1e3
-    ms_pallas = measure(args, use_pallas=True) * 1e3
+    fn = measure_loss_only if args.loss_only else measure
+    ms_xla = fn(args, use_pallas=False) * 1e3
+    ms_pallas = fn(args, use_pallas=True) * 1e3
+    key = "chamfer_grad_ms" if args.loss_only else "train_step_ms"
     result = {
-        "task": args.task,
+        "task": "loss_only" if args.loss_only else args.task,
         "batch": args.batch,
         "num_points": args.num_points,
-        "train_step_ms_xla_chamfer": round(ms_xla, 2),
-        "train_step_ms_pallas_vjp_chamfer": round(ms_pallas, 2),
+        f"{key}_xla_chamfer": round(ms_xla, 2),
+        f"{key}_pallas_vjp_chamfer": round(ms_pallas, 2),
         "speedup": round(ms_xla / ms_pallas, 3),
         "platform": jax.devices()[0].platform,
     }
