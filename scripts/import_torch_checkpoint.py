@@ -35,6 +35,8 @@ def main(argv=None) -> int:
                         help="output for the embedded VAE (LatentDiffusion only)")
     parser.add_argument("--num-points", type=int, default=None,
                         help="override num_points when the source hparams lack it")
+    parser.add_argument("--no-optimizer", action="store_true",
+                        help="skip Adam-moment import (fresh optimizer state)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -49,7 +51,7 @@ def main(argv=None) -> int:
 
     written = torch_import.import_lightning_checkpoint(
         args.checkpoint, args.out, vae_out_path=args.vae_out,
-        num_points=args.num_points,
+        num_points=args.num_points, import_optimizer=not args.no_optimizer,
     )
     for name, path in written.items():
         log.info("wrote %s -> %s", name, path)

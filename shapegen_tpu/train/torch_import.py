@@ -23,9 +23,18 @@ Not supported: PointNetVAEExperimental (marked "not used currently" in the
 reference and unreachable from its entry points — no real checkpoints exist)
 and the experimental denoisers (never instantiated by PointCloudDiffusion).
 
-Only weights and BN running stats are imported; optimizer moments are re-
-initialized (the imported checkpoint is a warm start, not a bitwise resume —
-sidecar metadata records ``imported_from`` so downstream tooling can tell).
+Weights, BN running stats, AND Adam/AdamW moments are imported: torch Adam
+state is keyed by parameter *index* in registration order, which equals the
+state_dict key order restricted to parameters (buffers excluded), and Adam
+moments are per-element — so every weight-layout transform (transpose,
+slice, flip, permutation, the dec4 kernel split) applies to ``exp_avg`` /
+``exp_avg_sq`` verbatim. The converters are simply re-run on moment dicts
+and the results grafted into the optax ``ScaleByAdamState`` (whose update
+math matches torch Adam's bias correction leaf-for-leaf — proven by the f64
+lockstep trajectory tests). The optimizer's live learning rate
+(param_groups[0].lr — e.g. after ReduceLROnPlateau halvings) carries into
+the injected hyperparams. A checkpoint without optimizer_states imports
+weights-only with a fresh optimizer.
 
 Weight-layout transforms mirror tests/transplant_utils.py, which proves them
 against live torch modules; here they operate on raw state_dict arrays so
@@ -107,9 +116,12 @@ def load_lightning_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict, D
         meta = {
             "epoch": int(ckpt.get("epoch", 0) or 0),
             "global_step": int(ckpt.get("global_step", 0) or 0),
+            "optimizer_states": ckpt.get("optimizer_states") or [],
         }
     else:  # bare state_dict
-        raw_sd, hparams, meta = ckpt, {}, {"epoch": 0, "global_step": 0}
+        raw_sd, hparams, meta = ckpt, {}, {
+            "epoch": 0, "global_step": 0, "optimizer_states": []
+        }
 
     sd: Dict[str, np.ndarray] = {}
     for k, v in raw_sd.items():
@@ -117,6 +129,79 @@ def load_lightning_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict, D
             continue
         sd[k] = np.asarray(v.detach().cpu().numpy(), dtype=np.float32)
     return sd, hparams, meta
+
+
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def extract_adam_moments(
+    sd: Dict[str, np.ndarray],
+    optimizer_states: list,
+    key_filter=None,
+) -> Optional[Dict[str, Any]]:
+    """Re-key torch Adam/AdamW state from parameter indices to state_dict
+    keys, shaped exactly like the weights.
+
+    torch optimizers key their per-parameter state by index into the
+    param_groups' parameter list, which for Lightning's single
+    ``self.parameters()`` group is the module's parameter registration
+    order — identical to state_dict key order with buffers removed.
+    Parameters that never received a gradient (e.g. a frozen VAE inside
+    LatentDiffusion) have no state entry and get zero moments (Adam's own
+    initialization).
+
+    Returns {"mu": {key: arr}, "nu": {key: arr}, "count": int, "lr": float}
+    or None when the checkpoint carries no optimizer state."""
+    if not optimizer_states:
+        return None
+    opt = optimizer_states[0]
+    state = opt.get("state") or {}
+    groups = opt.get("param_groups") or []
+    if not groups:
+        return None
+
+    param_keys = [
+        k for k in sd if not k.endswith(_BUFFER_SUFFIXES)
+    ]
+    if key_filter is not None:
+        indexed = [(i, k) for i, k in enumerate(param_keys) if key_filter(k)]
+    else:
+        indexed = list(enumerate(param_keys))
+
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, dtype=np.float32)
+
+    mu: Dict[str, np.ndarray] = {}
+    nu: Dict[str, np.ndarray] = {}
+    count = 0
+    for i, key in indexed:
+        entry = state.get(i)
+        if entry is None:
+            mu[key] = np.zeros_like(sd[key])
+            nu[key] = np.zeros_like(sd[key])
+            continue
+        m, v = to_np(entry["exp_avg"]), to_np(entry["exp_avg_sq"])
+        if m.shape != sd[key].shape:
+            raise ValueError(
+                f"optimizer state {i} shape {m.shape} does not match "
+                f"parameter {key!r} {sd[key].shape} — index mapping broke "
+                "(unsupported optimizer layout)"
+            )
+        mu[key], nu[key] = m, v
+        count = max(count, int(to_np(entry.get("step", 0)).item()))
+    # Moment dicts must satisfy the converters' full key walk: BN running
+    # stats are buffers (no optimizer state) — synthesize zeros so _bn()
+    # resolves; the resulting stats trees are discarded.
+    for k, w in sd.items():
+        if k.endswith(("running_mean", "running_var")):
+            mu[k] = np.zeros_like(w)
+            nu[k] = np.zeros_like(w)
+    return {
+        "mu": mu, "nu": nu, "count": count,
+        "lr": float(groups[0].get("lr", 0.0) or 0.0),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -635,16 +720,31 @@ _CONVERTERS = {
 }
 
 
+def _convert_moments(converter, moments) -> Optional[Dict[str, Any]]:
+    """Run the weight converter over the mu/nu dicts (the transforms are all
+    element-wise-valid for Adam moments); discard the dummy stats trees."""
+    if moments is None:
+        return None
+    mu_tree, _ = converter(moments["mu"])
+    nu_tree, _ = converter(moments["nu"])
+    return {"mu": mu_tree, "nu": nu_tree, "count": moments["count"],
+            "lr": moments["lr"]}
+
+
 def convert_state_dict(
     sd: Dict[str, np.ndarray],
     lightning_hparams: Optional[Dict] = None,
     num_points: Optional[int] = None,
+    optimizer_states: Optional[list] = None,
 ) -> Dict[str, Dict[str, Any]]:
     """Convert a reference state_dict into framework trees.
 
-    Returns {name: {kind, params, batch_stats, hparams}} — one entry for a
-    plain module; a LatentDiffusion checkpoint yields two ("main" = the
-    denoiser, "vae" = the embedded VAE split out)."""
+    Returns {name: {kind, params, batch_stats, hparams, adam}} — one entry
+    for a plain module; a LatentDiffusion checkpoint yields two ("main" =
+    the denoiser, "vae" = the embedded VAE split out). ``adam`` is the
+    converted optimizer-moment bundle, or None when the checkpoint has no
+    optimizer state (and always None for the embedded VAE — it is frozen in
+    the reference, so it carries no meaningful moments)."""
     lightning_hparams = lightning_hparams or {}
     kind = detect_architecture(sd)
     out: Dict[str, Dict[str, Any]] = {}
@@ -653,21 +753,29 @@ def convert_state_dict(
         vae_kind, vae_sd = _detect_vae_kind(sd)
         main_sd = {k: v for k, v in sd.items() if not k.startswith("vae.")}
         params, stats = import_simple_latent_unet(main_sd)
+        moments = extract_adam_moments(
+            sd, optimizer_states or [],
+            key_filter=lambda k: k.startswith("model."),
+        )
         out["main"] = {
             "kind": kind, "params": params, "batch_stats": stats,
             "hparams": _infer_hparams(kind, sd, lightning_hparams),
+            "adam": _convert_moments(import_simple_latent_unet, moments),
         }
         vparams, vstats = _VAE_KINDS[vae_kind](vae_sd)
         out["vae"] = {
             "kind": vae_kind, "params": vparams, "batch_stats": vstats,
             "hparams": _infer_hparams(vae_kind, vae_sd, {}, num_points),
+            "adam": None,
         }
         return out
 
     params, stats = _CONVERTERS[kind](sd)
+    moments = extract_adam_moments(sd, optimizer_states or [])
     out["main"] = {
         "kind": kind, "params": params, "batch_stats": stats,
         "hparams": _infer_hparams(kind, sd, lightning_hparams, num_points),
+        "adam": _convert_moments(_CONVERTERS[kind], moments),
     }
     return out
 
@@ -694,6 +802,42 @@ def _tree_shape_diff(imported, expected) -> list:
     return diffs
 
 
+def _graft_adam_state(opt_state, adam, params_template):
+    """Replace the mu/nu/count of the ScaleByAdamState inside an
+    inject_hyperparams(adam/adamw) opt_state with imported moments, and
+    carry the source optimizer's live learning rate into the injected
+    hyperparams (it reflects any ReduceLROnPlateau halvings)."""
+    import jax
+    import jax.numpy as jnp
+
+    diffs = _tree_shape_diff(adam["mu"], params_template)
+    diffs += _tree_shape_diff(adam["nu"], params_template)
+    if diffs:
+        raise ValueError(
+            "imported Adam moments do not match the parameter tree:\n  "
+            + "\n  ".join(diffs[:20])
+        )
+    mu = jax.tree_util.tree_map(jnp.asarray, adam["mu"])
+    nu = jax.tree_util.tree_map(jnp.asarray, adam["nu"])
+    count = jnp.asarray(adam["count"], jnp.int32)
+
+    replaced = False
+    new_inner = []
+    for s in opt_state.inner_state:
+        if hasattr(s, "mu") and hasattr(s, "nu"):
+            s = s._replace(mu=mu, nu=nu, count=count)
+            replaced = True
+        new_inner.append(s)
+    if not replaced:
+        raise ValueError("no ScaleByAdamState found in the optimizer chain")
+    hyperparams = dict(opt_state.hyperparams)
+    if adam["lr"] > 0:
+        hyperparams["learning_rate"] = jnp.asarray(adam["lr"], jnp.float32)
+    return opt_state._replace(
+        count=count, hyperparams=hyperparams, inner_state=tuple(new_inner)
+    )
+
+
 def write_framework_checkpoint(
     out_path: str,
     kind: str,
@@ -704,10 +848,13 @@ def write_framework_checkpoint(
     source: str = "",
     vae_model=None,
     vae_variables=None,
+    adam: Optional[Dict[str, Any]] = None,
 ) -> str:
     """Validate the imported trees against a fresh model init (exact
     structure + shapes) and write an orbax checkpoint + sidecar that
-    factory.load_task_checkpoint restores."""
+    factory.load_task_checkpoint restores. With ``adam`` (converted
+    moments from convert_state_dict), the optimizer state resumes
+    mid-trajectory instead of fresh."""
     import jax
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
@@ -726,12 +873,18 @@ def write_framework_checkpoint(
             + "\n  ".join(diffs[:20])
         )
 
+    opt_state = init_state.opt_state
+    step = init_state.step
+    if adam is not None:
+        opt_state = _graft_adam_state(opt_state, adam, init_state.params)
+        step = jnp.asarray(adam["count"], jnp.int32)
+
     as_jnp = jax.tree_util.tree_map(jnp.asarray, (params, batch_stats))
     payload = {
         "params": as_jnp[0],
         "batch_stats": as_jnp[1],
-        "opt_state": jax.device_get(init_state.opt_state),
-        "step": jax.device_get(init_state.step),
+        "opt_state": jax.device_get(opt_state),
+        "step": jax.device_get(step),
     }
     out_path = os.path.abspath(out_path)
     if os.path.exists(out_path):
@@ -748,7 +901,11 @@ def write_framework_checkpoint(
                 "hparams": hparams,
                 "extra": {
                     "imported_from": source,
-                    "note": "weights+BN stats imported; optimizer state fresh",
+                    "note": (
+                        "weights+BN stats+Adam moments imported"
+                        if adam is not None
+                        else "weights+BN stats imported; optimizer state fresh"
+                    ),
                 },
             },
             f,
@@ -761,11 +918,15 @@ def import_lightning_checkpoint(
     out_path: str,
     vae_out_path: Optional[str] = None,
     num_points: Optional[int] = None,
+    import_optimizer: bool = True,
 ) -> Dict[str, str]:
     """One-call import: reference Lightning .ckpt file -> framework
     checkpoint director(ies). Returns {name: written path}."""
     sd, lightning_hp, meta = load_lightning_checkpoint(src_path)
-    converted = convert_state_dict(sd, lightning_hp, num_points)
+    converted = convert_state_dict(
+        sd, lightning_hp, num_points,
+        optimizer_states=meta["optimizer_states"] if import_optimizer else [],
+    )
 
     written: Dict[str, str] = {}
     if "vae" in converted:
@@ -778,6 +939,7 @@ def import_lightning_checkpoint(
         written["vae"] = write_framework_checkpoint(
             vae_out_path, v["kind"], v["params"], v["batch_stats"],
             v["hparams"], epoch=meta["epoch"], source=src_path,
+            adam=v["adam"],
         )
         # The LDM task needs the (frozen) VAE to build at all — reuse the
         # just-imported trees.
@@ -796,12 +958,13 @@ def import_lightning_checkpoint(
             out_path, m["kind"], m["params"], m["batch_stats"], m["hparams"],
             epoch=meta["epoch"], source=src_path,
             vae_model=vae_task.model, vae_variables=vae_vars,
+            adam=m["adam"],
         )
         return written
 
     m = converted["main"]
     written["main"] = write_framework_checkpoint(
         out_path, m["kind"], m["params"], m["batch_stats"], m["hparams"],
-        epoch=meta["epoch"], source=src_path,
+        epoch=meta["epoch"], source=src_path, adam=m["adam"],
     )
     return written

@@ -576,6 +576,89 @@ def test_import_rejects_unknown_and_experimental(tmp_path, rng):
         )
 
 
+def test_adam_moments_import_true_resume(tmp_path, rng):
+    """optimizer_states in the Lightning ckpt carry into the optax state:
+    mu/nu get the SAME layout transforms as the weights, count/step resume,
+    and the live (possibly plateau-halved) lr lands in the injected
+    hyperparams."""
+    src = RefSimplePointNetVAE(num_points=32, latent_dim=8)
+    _randomize_bn(src, rng)
+    opt = torch.optim.Adam(src.parameters(), lr=1e-4)
+    x = torch.tensor(rng.standard_normal((4, 32, 3)).astype(np.float32))
+    src.train()
+    for _ in range(3):
+        opt.zero_grad()
+        mu, logvar = src.encode(x)
+        out = src.decode(mu)
+        (out.abs().mean() + mu.square().mean() + logvar.abs().mean()).backward()
+        opt.step()
+    # Simulate a ReduceLROnPlateau halving so the live lr differs from hparams.
+    opt.param_groups[0]["lr"] = 5e-5
+    src.eval()
+
+    path = str(tmp_path / "resume.ckpt")
+    torch.save(
+        {
+            "state_dict": src.state_dict(),
+            "hyper_parameters": {"num_points": 32, "latent_dim": 8,
+                                 "lr": 1e-4, "beta": 1e-1},
+            "epoch": 9,
+            "global_step": 3,
+            "optimizer_states": [opt.state_dict()],
+        },
+        path,
+    )
+    out_dir = str(tmp_path / "resume_imported.ckpt")
+    torch_import.import_lightning_checkpoint(path, out_dir)
+
+    task, state, meta = factory.load_task_checkpoint(out_dir)
+    assert meta["extra"]["note"].startswith("weights+BN stats+Adam")
+    assert int(state.step) == 3
+
+    adam_state = next(
+        s for s in state.opt_state.inner_state
+        if hasattr(s, "mu") and hasattr(s, "nu")
+    )
+    assert int(adam_state.count) == 3
+    lr = float(state.opt_state.hyperparams["learning_rate"])
+    assert lr == pytest.approx(5e-5)
+
+    # Spot-check the layout transform on the moments: fc_mu is a plain
+    # Linear, so its exp_avg transposes exactly like the weight.
+    sd_params = [k for k, _ in src.named_parameters()]
+    idx = sd_params.index("fc_mu.weight")
+    want_mu = opt.state_dict()["state"][idx]["exp_avg"].numpy().T
+    np.testing.assert_allclose(
+        np.asarray(adam_state.mu["fc_mu"]["kernel"]), want_mu, rtol=1e-6
+    )
+    want_nu = opt.state_dict()["state"][idx]["exp_avg_sq"].numpy().T
+    np.testing.assert_allclose(
+        np.asarray(adam_state.nu["fc_mu"]["kernel"]), want_nu, rtol=1e-6
+    )
+    # A PointNetLayer conv moment lands under the re-designed tree with the
+    # Conv1d(k1)->Dense squeeze+transpose.
+    idx_c = sd_params.index("encoder.2.conv3.weight")
+    want_c = opt.state_dict()["state"][idx_c]["exp_avg"].numpy()[:, :, 0].T
+    np.testing.assert_allclose(
+        np.asarray(adam_state.mu["enc3"]["DenseBN_2"]["Dense_0"]["kernel"]),
+        want_c, rtol=1e-6,
+    )
+
+    # --no-optimizer path: fresh moments, step 0.
+    out_dir2 = str(tmp_path / "fresh_imported.ckpt")
+    torch_import.import_lightning_checkpoint(path, out_dir2,
+                                             import_optimizer=False)
+    _, state2, meta2 = factory.load_task_checkpoint(out_dir2)
+    assert "optimizer state fresh" in meta2["extra"]["note"]
+    assert int(state2.step) == 0
+    adam2 = next(
+        s for s in state2.opt_state.inner_state
+        if hasattr(s, "mu") and hasattr(s, "nu")
+    )
+    assert float(jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(b).sum()), adam2.mu, 0.0)) == 0.0
+
+
 def test_import_survives_lightning_attributedict(tmp_path, rng):
     """hyper_parameters pickled as pytorch_lightning AttributeDict (the real
     Lightning format) unpickle through the stub without the package."""
