@@ -82,8 +82,13 @@ class CosineAnnealingLR:
         return self.lr
 
     def state_dict(self):
-        return {"epoch": self.epoch, "lr": self.lr}
+        return {"epoch": self.epoch, "lr": self.lr, "t_max": self.t_max}
 
     def load_state_dict(self, d):
         self.epoch = d["epoch"]
         self.lr = d["lr"]
+        # torch restores T_max from the scheduler state on resume (so the
+        # annealing horizon sticks to the ORIGINAL run's max_epochs even if
+        # the resuming trainer's differs) — match that. Older sidecars lack
+        # the key; keep the ctor value then.
+        self.t_max = d.get("t_max", self.t_max)

@@ -33,8 +33,11 @@ and the results grafted into the optax ``ScaleByAdamState`` (whose update
 math matches torch Adam's bias correction leaf-for-leaf — proven by the f64
 lockstep trajectory tests). The optimizer's live learning rate
 (param_groups[0].lr — e.g. after ReduceLROnPlateau halvings) carries into
-the injected hyperparams. A checkpoint without optimizer_states imports
-weights-only with a fresh optimizer.
+the injected hyperparams, and Lightning's saved ``lr_schedulers`` state is
+translated into the matching framework scheduler state (sidecar
+``extra.scheduler``) so Trainer.fit resumes with the live controller instead
+of a fresh one. A checkpoint without optimizer_states imports weights-only
+with a fresh optimizer.
 
 Weight-layout transforms mirror tests/transplant_utils.py, which proves them
 against live torch modules; here they operate on raw state_dict arrays so
@@ -44,7 +47,10 @@ pickled Lightning container types are stubbed out at load time).
 
 from __future__ import annotations
 
+import contextlib
+import importlib.util
 import json
+import math
 import os
 import shutil
 import sys
@@ -71,10 +77,18 @@ class _AttributeDict(dict):
         self[k] = v
 
 
-def _stub_lightning_unpickling() -> None:
-    """Register stub modules so Lightning container types inside the pickle
-    (hyper_parameters is an AttributeDict) unpickle without pytorch_lightning
-    installed. The stubs subclass dict, preserving the stored values."""
+@contextlib.contextmanager
+def _lightning_unpickle_stubs():
+    """Temporarily register stub modules so Lightning container types inside
+    the pickle (hyper_parameters is an AttributeDict) unpickle without
+    pytorch_lightning installed. The stubs subclass dict, preserving the
+    stored values.
+
+    Scoped on purpose: only module names whose top-level package is genuinely
+    absent are stubbed, and every stub is removed on exit — an environment
+    where the real pytorch_lightning IS installed must never have it shadowed
+    process-wide by an empty stand-in."""
+    added = []
     for modname in (
         "pytorch_lightning",
         "pytorch_lightning.utilities",
@@ -87,12 +101,23 @@ def _stub_lightning_unpickling() -> None:
         "lightning_fabric.utilities",
         "lightning_fabric.utilities.data",
     ):
-        if modname not in sys.modules:
-            mod = types.ModuleType(modname)
-            mod.AttributeDict = _AttributeDict
-            sys.modules[modname] = mod
-        elif not hasattr(sys.modules[modname], "AttributeDict"):
-            sys.modules[modname].AttributeDict = _AttributeDict
+        if modname in sys.modules:
+            continue
+        top = modname.split(".")[0]
+        try:
+            if importlib.util.find_spec(top) is not None:
+                continue  # really installed — let the pickle import it
+        except (ImportError, ValueError):
+            pass
+        mod = types.ModuleType(modname)
+        mod.AttributeDict = _AttributeDict
+        sys.modules[modname] = mod
+        added.append(modname)
+    try:
+        yield
+    finally:
+        for modname in added:
+            sys.modules.pop(modname, None)
 
 
 def load_lightning_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict, Dict]:
@@ -104,11 +129,11 @@ def load_lightning_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict, D
     reference)."""
     import torch
 
-    _stub_lightning_unpickling()
-    try:
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    except TypeError:  # older torch without weights_only
-        ckpt = torch.load(path, map_location="cpu")
+    with _lightning_unpickle_stubs():
+        try:
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        except TypeError:  # older torch without weights_only
+            ckpt = torch.load(path, map_location="cpu")
 
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         raw_sd = ckpt["state_dict"]
@@ -117,10 +142,12 @@ def load_lightning_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict, D
             "epoch": int(ckpt.get("epoch", 0) or 0),
             "global_step": int(ckpt.get("global_step", 0) or 0),
             "optimizer_states": ckpt.get("optimizer_states") or [],
+            "lr_schedulers": ckpt.get("lr_schedulers") or [],
         }
     else:  # bare state_dict
         raw_sd, hparams, meta = ckpt, {}, {
-            "epoch": 0, "global_step": 0, "optimizer_states": []
+            "epoch": 0, "global_step": 0, "optimizer_states": [],
+            "lr_schedulers": [],
         }
 
     sd: Dict[str, np.ndarray] = {}
@@ -202,6 +229,89 @@ def extract_adam_moments(
         "mu": mu, "nu": nu, "count": count,
         "lr": float(groups[0].get("lr", 0.0) or 0.0),
     }
+
+
+# Which host LR controller each task resumes with (tasks.make_scheduler):
+#   plateau = ReduceLROnPlateau(0.5, 5)   reference diffusion.py:56-68,
+#                                         networks.py:2285-2297
+#   cosine  = CosineAnnealingLR(eta_min=1e-6)  diffusion.py:410-423,
+#                                         networks.py:1175-1188, 1551-1564
+#   None    = bare Adam, no scheduler     networks.py:2041-2045
+_SCHEDULER_KINDS = {
+    "point_diffusion": "plateau",
+    "vae3d_large": "plateau",
+    "latent_diffusion": "cosine",
+    "simple_pointnet_vae": "cosine",
+    "pointnet_vae": "cosine",
+    "vae3d": None,
+}
+
+
+def convert_scheduler_state(
+    kind: str,
+    lr_schedulers: list,
+    live_lr: Optional[float],
+) -> Optional[Dict[str, Any]]:
+    """Translate Lightning's saved torch scheduler state into the matching
+    framework scheduler's ``state_dict()``.
+
+    Without this, a resumed ``Trainer.fit`` builds a FRESH scheduler from
+    hparams: the imported live LR snaps back to base at the first epoch end
+    and the plateau best/num_bad_epochs history is lost. torch state:
+      * ReduceLROnPlateau -> {best, num_bad_epochs, _last_lr} maps onto the
+        framework's {lr, best, num_bad_epochs} (same rel-threshold update).
+        torch's plateau mutates param_groups' lr directly, so the optimizer
+        ``live_lr`` is the authoritative fallback when _last_lr is absent
+        (it only exists on newer torch).
+      * CosineAnnealingLR -> {last_epoch, _last_lr}; when _last_lr is
+        missing the LR is recomputed from the saved (base_lrs, T_max,
+        eta_min) closed form.
+
+    Returns None when the task has no scheduler or nothing usable is saved.
+    """
+    family = _SCHEDULER_KINDS.get(kind)
+    if family is None:
+        return None
+    entry = dict(lr_schedulers[0]) if lr_schedulers else {}
+
+    def first_lr():
+        last = entry.get("_last_lr")
+        if last:
+            return float(last[0])
+        return None
+
+    if family == "plateau":
+        lr = first_lr()
+        if lr is None:
+            lr = live_lr
+        if not lr or lr <= 0:
+            return None
+        return {
+            "lr": float(lr),
+            "best": float(entry.get("best", math.inf)),
+            "num_bad_epochs": int(entry.get("num_bad_epochs", 0)),
+        }
+
+    # family == "cosine"
+    epoch = int(entry.get("last_epoch", 0))
+    lr = first_lr()
+    if lr is None and entry.get("base_lrs") and entry.get("T_max"):
+        base = float(entry["base_lrs"][0])
+        t_max = float(entry["T_max"])
+        eta_min = float(entry.get("eta_min", 0.0))
+        lr = eta_min + (base - eta_min) * (
+            1 + math.cos(math.pi * epoch / t_max)
+        ) / 2
+    if lr is None:
+        lr = live_lr
+    if not lr or lr <= 0:
+        return None
+    state = {"epoch": epoch, "lr": float(lr)}
+    if entry.get("T_max"):
+        # Pin the annealing horizon to the source run's (torch restores
+        # T_max from scheduler state; the framework controller honors it).
+        state["t_max"] = int(entry["T_max"])
+    return state
 
 
 # ---------------------------------------------------------------------------
@@ -736,15 +846,18 @@ def convert_state_dict(
     lightning_hparams: Optional[Dict] = None,
     num_points: Optional[int] = None,
     optimizer_states: Optional[list] = None,
+    lr_schedulers: Optional[list] = None,
 ) -> Dict[str, Dict[str, Any]]:
     """Convert a reference state_dict into framework trees.
 
-    Returns {name: {kind, params, batch_stats, hparams, adam}} — one entry
-    for a plain module; a LatentDiffusion checkpoint yields two ("main" =
-    the denoiser, "vae" = the embedded VAE split out). ``adam`` is the
-    converted optimizer-moment bundle, or None when the checkpoint has no
+    Returns {name: {kind, params, batch_stats, hparams, adam, scheduler}} —
+    one entry for a plain module; a LatentDiffusion checkpoint yields two
+    ("main" = the denoiser, "vae" = the embedded VAE split out). ``adam`` is
+    the converted optimizer-moment bundle, or None when the checkpoint has no
     optimizer state (and always None for the embedded VAE — it is frozen in
-    the reference, so it carries no meaningful moments)."""
+    the reference, so it carries no meaningful moments). ``scheduler`` is the
+    translated host-scheduler state for Trainer.fit resumes (None for the
+    frozen VAE and for scheduler-less tasks)."""
     lightning_hparams = lightning_hparams or {}
     kind = detect_architecture(sd)
     out: Dict[str, Dict[str, Any]] = {}
@@ -761,12 +874,16 @@ def convert_state_dict(
             "kind": kind, "params": params, "batch_stats": stats,
             "hparams": _infer_hparams(kind, sd, lightning_hparams),
             "adam": _convert_moments(import_simple_latent_unet, moments),
+            "scheduler": convert_scheduler_state(
+                kind, lr_schedulers or [], moments["lr"] if moments else None
+            ),
         }
         vparams, vstats = _VAE_KINDS[vae_kind](vae_sd)
         out["vae"] = {
             "kind": vae_kind, "params": vparams, "batch_stats": vstats,
             "hparams": _infer_hparams(vae_kind, vae_sd, {}, num_points),
             "adam": None,
+            "scheduler": None,
         }
         return out
 
@@ -776,6 +893,9 @@ def convert_state_dict(
         "kind": kind, "params": params, "batch_stats": stats,
         "hparams": _infer_hparams(kind, sd, lightning_hparams, num_points),
         "adam": _convert_moments(_CONVERTERS[kind], moments),
+        "scheduler": convert_scheduler_state(
+            kind, lr_schedulers or [], moments["lr"] if moments else None
+        ),
     }
     return out
 
@@ -849,12 +969,15 @@ def write_framework_checkpoint(
     vae_model=None,
     vae_variables=None,
     adam: Optional[Dict[str, Any]] = None,
+    scheduler_state: Optional[Dict[str, Any]] = None,
 ) -> str:
     """Validate the imported trees against a fresh model init (exact
     structure + shapes) and write an orbax checkpoint + sidecar that
     factory.load_task_checkpoint restores. With ``adam`` (converted
     moments from convert_state_dict), the optimizer state resumes
-    mid-trajectory instead of fresh."""
+    mid-trajectory instead of fresh; ``scheduler_state`` lands in the
+    sidecar's extra so Trainer.fit(resume_from=...) rebuilds the live LR
+    controller instead of a fresh one."""
     import jax
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
@@ -888,10 +1011,26 @@ def write_framework_checkpoint(
     }
     out_path = os.path.abspath(out_path)
     if os.path.exists(out_path):
-        shutil.rmtree(out_path)
+        # Only replace something that is recognizably a framework checkpoint
+        # (directory + sidecar). A typo'd --out pointing at a data directory
+        # must never be rmtree'd.
+        if not (os.path.isdir(out_path) and os.path.exists(out_path + ".json")):
+            raise ValueError(
+                f"refusing to overwrite {out_path!r}: it exists but does not "
+                "look like a framework checkpoint (expected a directory with "
+                "a .json sidecar) — remove it yourself or pick another --out"
+            )
+    # Write-then-rename (the save_last_checkpoint pattern, checkpoints.py):
+    # a failed orbax save must not have destroyed the previous checkpoint.
+    tmp_path = out_path + ".tmp"
+    if os.path.exists(tmp_path):
+        shutil.rmtree(tmp_path)
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(out_path, jax.device_get(payload))
+    ckpt.save(tmp_path, jax.device_get(payload))
     ckpt.wait_until_finished()
+    if os.path.exists(out_path):
+        shutil.rmtree(out_path)
+    os.rename(tmp_path, out_path)
     with open(out_path + ".json", "w") as f:
         json.dump(
             {
@@ -901,6 +1040,7 @@ def write_framework_checkpoint(
                 "hparams": hparams,
                 "extra": {
                     "imported_from": source,
+                    "scheduler": scheduler_state,
                     "note": (
                         "weights+BN stats+Adam moments imported"
                         if adam is not None
@@ -919,13 +1059,19 @@ def import_lightning_checkpoint(
     vae_out_path: Optional[str] = None,
     num_points: Optional[int] = None,
     import_optimizer: bool = True,
+    loaded: Optional[Tuple[Dict[str, np.ndarray], Dict, Dict]] = None,
 ) -> Dict[str, str]:
     """One-call import: reference Lightning .ckpt file -> framework
-    checkpoint director(ies). Returns {name: written path}."""
-    sd, lightning_hp, meta = load_lightning_checkpoint(src_path)
+    checkpoint director(ies). Returns {name: written path}. Pass ``loaded``
+    (the load_lightning_checkpoint tuple) when the caller already read the
+    file, so a multi-hundred-MB pickle isn't parsed twice."""
+    sd, lightning_hp, meta = loaded or load_lightning_checkpoint(src_path)
     converted = convert_state_dict(
         sd, lightning_hp, num_points,
         optimizer_states=meta["optimizer_states"] if import_optimizer else [],
+        lr_schedulers=(
+            meta.get("lr_schedulers") if import_optimizer else []
+        ),
     )
 
     written: Dict[str, str] = {}
@@ -939,7 +1085,7 @@ def import_lightning_checkpoint(
         written["vae"] = write_framework_checkpoint(
             vae_out_path, v["kind"], v["params"], v["batch_stats"],
             v["hparams"], epoch=meta["epoch"], source=src_path,
-            adam=v["adam"],
+            adam=v["adam"], scheduler_state=v["scheduler"],
         )
         # The LDM task needs the (frozen) VAE to build at all — reuse the
         # just-imported trees.
@@ -958,7 +1104,7 @@ def import_lightning_checkpoint(
             out_path, m["kind"], m["params"], m["batch_stats"], m["hparams"],
             epoch=meta["epoch"], source=src_path,
             vae_model=vae_task.model, vae_variables=vae_vars,
-            adam=m["adam"],
+            adam=m["adam"], scheduler_state=m["scheduler"],
         )
         return written
 
@@ -966,5 +1112,6 @@ def import_lightning_checkpoint(
     written["main"] = write_framework_checkpoint(
         out_path, m["kind"], m["params"], m["batch_stats"], m["hparams"],
         epoch=meta["epoch"], source=src_path, adam=m["adam"],
+        scheduler_state=m["scheduler"],
     )
     return written

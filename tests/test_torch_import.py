@@ -659,24 +659,187 @@ def test_adam_moments_import_true_resume(tmp_path, rng):
         lambda a, b: a + float(np.abs(b).sum()), adam2.mu, 0.0)) == 0.0
 
 
-def test_import_survives_lightning_attributedict(tmp_path, rng):
-    """hyper_parameters pickled as pytorch_lightning AttributeDict (the real
-    Lightning format) unpickle through the stub without the package."""
-    torch_import._stub_lightning_unpickling()
-    import pytorch_lightning.utilities.parsing as plup  # the stub
-
+def test_scheduler_state_carries_into_sidecar(tmp_path, rng):
+    """Lightning's lr_schedulers entry lands in the sidecar's
+    extra['scheduler'], so Trainer.fit(resume_from=imported) rebuilds the
+    LIVE controller — without it the imported LR snaps back to base at the
+    first epoch end (trainer.py builds a fresh scheduler from hparams)."""
     src = RefSimplePointNetVAE(num_points=32, latent_dim=8)
     src.eval()
-    hp = plup.AttributeDict(
-        {"num_points": 32, "latent_dim": 8, "lr": 1e-4, "beta": 1e-1}
+    opt = torch.optim.Adam(src.parameters(), lr=1e-3)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=40, eta_min=1e-6
     )
-    path = str(tmp_path / "attr.ckpt")
-    torch.save({"state_dict": src.state_dict(), "hyper_parameters": hp,
-                "epoch": 1, "global_step": 10}, path)
+    for _ in range(4):  # mid-schedule: lr has decayed from base
+        opt.step()
+        sched.step()
+    live_lr = opt.param_groups[0]["lr"]
+    assert live_lr < 1e-3
+
+    path = str(tmp_path / "sched.ckpt")
+    torch.save(
+        {
+            "state_dict": src.state_dict(),
+            "hyper_parameters": {"num_points": 32, "latent_dim": 8,
+                                 "lr": 1e-3, "beta": 1e-1},
+            "epoch": 3,
+            "global_step": 4,
+            "optimizer_states": [opt.state_dict()],
+            "lr_schedulers": [sched.state_dict()],
+        },
+        path,
+    )
+    out = str(tmp_path / "sched_imported.ckpt")
+    torch_import.import_lightning_checkpoint(path, out)
+
+    task, state, meta = factory.load_task_checkpoint(out)
+    saved = meta["extra"]["scheduler"]
+    assert saved == {"epoch": 4, "lr": pytest.approx(live_lr, rel=1e-6),
+                     "t_max": 40}
+    # Trainer-resume path: make_scheduler + load_state_dict restores the
+    # live LR instead of the hparams base, and the source run's T_max.
+    ctrl = task.make_scheduler()
+    ctrl.load_state_dict(saved)
+    assert ctrl.lr == pytest.approx(live_lr, rel=1e-6)
+    assert ctrl.epoch == 4
+    assert ctrl.t_max == 40
+    # The next framework step continues the TORCH trajectory exactly.
+    sched.step()
+    ctrl.step()
+    assert ctrl.lr == pytest.approx(opt.param_groups[0]["lr"], rel=1e-6)
+
+    # --no-optimizer: warm start keeps the scheduler fresh too.
+    out2 = str(tmp_path / "sched_fresh.ckpt")
+    torch_import.import_lightning_checkpoint(path, out2,
+                                             import_optimizer=False)
+    _, _, meta2 = factory.load_task_checkpoint(out2)
+    assert meta2["extra"]["scheduler"] is None
+
+
+def test_import_survives_lightning_attributedict(tmp_path, rng):
+    """hyper_parameters pickled as pytorch_lightning AttributeDict (the real
+    Lightning format: the pickle references
+    ``pytorch_lightning.utilities.parsing.AttributeDict``) unpickle through
+    the scoped stub without the package — and the stub does not leak into
+    sys.modules afterwards."""
+    import types
+
+    modname = "pytorch_lightning.utilities.parsing"
+    assert "pytorch_lightning" not in sys.modules
+
+    # Forge the real Lightning pickle layout: a dict subclass whose pickled
+    # import path is the genuine pytorch_lightning one. The temporary module
+    # registration below exists only so pickling-time lookup succeeds; it is
+    # torn down before the importer runs.
+    fake_cls = type("AttributeDict", (dict,), {})
+    fake_cls.__module__ = modname
+    forged = {}
+    for name in ("pytorch_lightning", "pytorch_lightning.utilities", modname):
+        forged[name] = types.ModuleType(name)
+    forged[modname].AttributeDict = fake_cls
+    sys.modules.update(forged)
+    try:
+        src = RefSimplePointNetVAE(num_points=32, latent_dim=8)
+        src.eval()
+        hp = fake_cls(
+            {"num_points": 32, "latent_dim": 8, "lr": 1e-4, "beta": 1e-1}
+        )
+        path = str(tmp_path / "attr.ckpt")
+        torch.save({"state_dict": src.state_dict(), "hyper_parameters": hp,
+                    "epoch": 1, "global_step": 10}, path)
+    finally:
+        for name in forged:
+            sys.modules.pop(name, None)
 
     sd, hparams, meta = torch_import.load_lightning_checkpoint(path)
     assert hparams["num_points"] == 32
+    # Scoped: loading must not leave stubs shadowing a future real install.
+    assert "pytorch_lightning" not in sys.modules
     out = str(tmp_path / "attr_imported.ckpt")
     torch_import.import_lightning_checkpoint(path, out)
+    assert "pytorch_lightning" not in sys.modules
     _, _, meta2 = factory.load_task_checkpoint(out)
     assert meta2["hparams"]["num_points"] == 32
+
+
+def test_convert_scheduler_state_translations():
+    """torch scheduler state (Lightning 'lr_schedulers' payloads) maps onto
+    the framework host controllers' state_dict formats."""
+    # ReduceLROnPlateau: drive a REAL torch scheduler so the saved keys are
+    # authentic (best/num_bad_epochs semantics match the framework's).
+    lin = torch.nn.Linear(2, 2)
+    opt = torch.optim.Adam(lin.parameters(), lr=1e-4)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=5
+    )
+    for metric in (1.0, 0.5, 0.6, 0.7):  # best=0.5, then 2 bad epochs
+        sched.step(metric)
+    got = torch_import.convert_scheduler_state(
+        "point_diffusion", [sched.state_dict()], opt.param_groups[0]["lr"]
+    )
+    assert got == {"lr": pytest.approx(1e-4), "best": pytest.approx(0.5),
+                   "num_bad_epochs": 2}
+    # Round-trips into the framework controller.
+    from shapegen_tpu.train.schedulers import ReduceLROnPlateau
+
+    ctrl = ReduceLROnPlateau(1e-4, factor=0.5, patience=5)
+    ctrl.load_state_dict(got)
+    assert ctrl.best == pytest.approx(0.5)
+
+    # CosineAnnealingLR: real torch scheduler, mid-schedule.
+    opt2 = torch.optim.Adam(lin.parameters(), lr=1e-3)
+    cos = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt2, T_max=100, eta_min=1e-6
+    )
+    for _ in range(10):
+        opt2.step()
+        cos.step()
+    got2 = torch_import.convert_scheduler_state(
+        "simple_pointnet_vae", [cos.state_dict()], opt2.param_groups[0]["lr"]
+    )
+    assert got2["epoch"] == 10
+    assert got2["lr"] == pytest.approx(opt2.param_groups[0]["lr"], rel=1e-6)
+    assert got2["t_max"] == 100  # annealing horizon pinned to the source run
+
+    # Cosine without _last_lr (older torch): recomputed from the closed form.
+    stripped = {k: v for k, v in cos.state_dict().items() if k != "_last_lr"}
+    got3 = torch_import.convert_scheduler_state(
+        "simple_pointnet_vae", [stripped], None
+    )
+    assert got3["lr"] == pytest.approx(got2["lr"], rel=1e-6)
+
+    # Plateau with no saved scheduler: optimizer live lr is authoritative.
+    got4 = torch_import.convert_scheduler_state("point_diffusion", [], 5e-5)
+    assert got4["lr"] == pytest.approx(5e-5)
+    assert got4["best"] == math.inf and got4["num_bad_epochs"] == 0
+
+    # Scheduler-less task / nothing usable -> None.
+    assert torch_import.convert_scheduler_state("vae3d", [cos.state_dict()],
+                                                1e-3) is None
+    assert torch_import.convert_scheduler_state("point_diffusion", [],
+                                                None) is None
+
+
+def test_import_refuses_to_overwrite_non_checkpoint(tmp_path, rng):
+    """--out pointing at an existing directory that is NOT a framework
+    checkpoint (no sidecar) must raise, not rmtree the user's data."""
+    src = RefSimplePointNetVAE(num_points=32, latent_dim=8)
+    src.eval()
+    path = str(tmp_path / "src.ckpt")
+    torch.save({"state_dict": src.state_dict(),
+                "hyper_parameters": {"num_points": 32, "latent_dim": 8,
+                                     "lr": 1e-4, "beta": 1e-1},
+                "epoch": 0, "global_step": 0}, path)
+    precious = tmp_path / "precious"
+    precious.mkdir()
+    (precious / "data.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        torch_import.import_lightning_checkpoint(path, str(precious))
+    assert (precious / "data.txt").read_text() == "do not delete"
+
+    # A real framework checkpoint at --out IS replaced (idempotent re-import).
+    out = str(tmp_path / "imported.ckpt")
+    torch_import.import_lightning_checkpoint(path, out)
+    torch_import.import_lightning_checkpoint(path, out)
+    _, _, meta = factory.load_task_checkpoint(out)
+    assert meta["hparams"]["num_points"] == 32
