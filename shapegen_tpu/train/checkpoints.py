@@ -156,6 +156,36 @@ class TopKCheckpointer:
         return self._kept[0][1] if self._kept else None
 
 
+def atomic_save(path: str, host_state: Any, meta: Dict) -> str:
+    """Write an orbax checkpoint + ``.json`` sidecar via tmp+rename.
+
+    Atomicity contract: a failed or interrupted save can never destroy an
+    existing checkpoint at ``path``, and no crash window pairs a NEW payload
+    with a STALE sidecar — the old sidecar is removed before the payload
+    rename, so the worst interruption leaves an orbax directory without a
+    sidecar (recognizable and safely re-writable), never a mismatched pair.
+    """
+    path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckpt = _make_checkpointer()
+    ckpt.save(tmp, host_state)
+    ckpt.wait_until_finished()
+    sidecar_tmp = tmp + ".json"
+    with open(sidecar_tmp, "w") as f:
+        json.dump(meta, f)
+    try:
+        os.remove(path + ".json")
+    except OSError:
+        pass
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    os.replace(sidecar_tmp, path + ".json")
+    return path
+
+
 def save_last_checkpoint(
     dirpath: str, state: Any, epoch: int, hparams: Optional[Dict] = None,
     extra: Optional[Dict] = None,
@@ -166,22 +196,11 @@ def save_last_checkpoint(
     path = os.path.join(os.path.abspath(dirpath), "last.ckpt")
     if not _is_primary():
         return path  # pod: process 0 owns all checkpoint I/O
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    ckpt = _make_checkpointer()
-    ckpt.save(tmp, jax.device_get(state))
-    ckpt.wait_until_finished()
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    with open(path + ".json", "w") as f:
-        json.dump(
-            {"epoch": epoch, "monitor": "last", "value": None,
-             "hparams": hparams or {}, "extra": extra or {}},
-            f,
-        )
-    return path
+    return atomic_save(
+        path, jax.device_get(state),
+        {"epoch": epoch, "monitor": "last", "value": None,
+         "hparams": hparams or {}, "extra": extra or {}},
+    )
 
 
 def find_latest_checkpoint(dirpath: str) -> Optional[str]:

@@ -48,11 +48,9 @@ pickled Lightning container types are stubbed out at load time).
 from __future__ import annotations
 
 import contextlib
-import importlib.util
-import json
+import importlib
 import math
 import os
-import shutil
 import sys
 import types
 from typing import Any, Dict, Optional, Tuple
@@ -84,11 +82,14 @@ def _lightning_unpickle_stubs():
     pytorch_lightning installed. The stubs subclass dict, preserving the
     stored values.
 
-    Scoped on purpose: only module names whose top-level package is genuinely
-    absent are stubbed, and every stub is removed on exit — an environment
-    where the real pytorch_lightning IS installed must never have it shadowed
-    process-wide by an empty stand-in."""
-    added = []
+    Per module name, in order: an importable REAL module is used as-is
+    (patched with an AttributeDict only if it lacks one — some versions
+    don't export it from every path); anything absent, or present on disk
+    but failing to import (a broken/partial install), gets a stub. Scoped on
+    purpose: every stub and every patched attribute is removed on exit, so
+    an environment with the real pytorch_lightning is never left shadowed or
+    mutated process-wide."""
+    added, patched = [], []
     for modname in (
         "pytorch_lightning",
         "pytorch_lightning.utilities",
@@ -101,21 +102,27 @@ def _lightning_unpickle_stubs():
         "lightning_fabric.utilities",
         "lightning_fabric.utilities.data",
     ):
-        if modname in sys.modules:
-            continue
-        top = modname.split(".")[0]
-        try:
-            if importlib.util.find_spec(top) is not None:
-                continue  # really installed — let the pickle import it
-        except (ImportError, ValueError):
-            pass
-        mod = types.ModuleType(modname)
-        mod.AttributeDict = _AttributeDict
-        sys.modules[modname] = mod
-        added.append(modname)
+        mod = sys.modules.get(modname)
+        if mod is None:
+            try:
+                mod = importlib.import_module(modname)
+            except Exception:  # absent OR broken — stub it
+                mod = types.ModuleType(modname)
+                mod.AttributeDict = _AttributeDict
+                sys.modules[modname] = mod
+                added.append(modname)
+                continue
+        if not hasattr(mod, "AttributeDict"):
+            mod.AttributeDict = _AttributeDict
+            patched.append(mod)
     try:
         yield
     finally:
+        for mod in patched:
+            try:
+                del mod.AttributeDict
+            except AttributeError:
+                pass
         for modname in added:
             sys.modules.pop(modname, None)
 
@@ -958,6 +965,18 @@ def _graft_adam_state(opt_state, adam, params_template):
     )
 
 
+def _looks_like_checkpoint(path: str) -> bool:
+    """A framework checkpoint directory: has its .json sidecar, or at least
+    orbax's own metadata files (a save interrupted between the payload
+    rename and the sidecar write leaves the latter without the former —
+    that orphan must stay replaceable by a re-run)."""
+    return os.path.isdir(path) and (
+        os.path.exists(path + ".json")
+        or os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+        or os.path.exists(os.path.join(path, "_METADATA"))
+    )
+
+
 def write_framework_checkpoint(
     out_path: str,
     kind: str,
@@ -980,7 +999,6 @@ def write_framework_checkpoint(
     controller instead of a fresh one."""
     import jax
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
 
     from shapegen_tpu.train import factory
 
@@ -1010,47 +1028,36 @@ def write_framework_checkpoint(
         "step": jax.device_get(step),
     }
     out_path = os.path.abspath(out_path)
-    if os.path.exists(out_path):
-        # Only replace something that is recognizably a framework checkpoint
-        # (directory + sidecar). A typo'd --out pointing at a data directory
-        # must never be rmtree'd.
-        if not (os.path.isdir(out_path) and os.path.exists(out_path + ".json")):
-            raise ValueError(
-                f"refusing to overwrite {out_path!r}: it exists but does not "
-                "look like a framework checkpoint (expected a directory with "
-                "a .json sidecar) — remove it yourself or pick another --out"
-            )
-    # Write-then-rename (the save_last_checkpoint pattern, checkpoints.py):
-    # a failed orbax save must not have destroyed the previous checkpoint.
-    tmp_path = out_path + ".tmp"
-    if os.path.exists(tmp_path):
-        shutil.rmtree(tmp_path)
-    ckpt = ocp.StandardCheckpointer()
-    ckpt.save(tmp_path, jax.device_get(payload))
-    ckpt.wait_until_finished()
-    if os.path.exists(out_path):
-        shutil.rmtree(out_path)
-    os.rename(tmp_path, out_path)
-    with open(out_path + ".json", "w") as f:
-        json.dump(
-            {
-                "epoch": epoch,
-                "monitor": "imported",
-                "value": None,
-                "hparams": hparams,
-                "extra": {
-                    "imported_from": source,
-                    "scheduler": scheduler_state,
-                    "note": (
-                        "weights+BN stats+Adam moments imported"
-                        if adam is not None
-                        else "weights+BN stats imported; optimizer state fresh"
-                    ),
-                },
-            },
-            f,
+    if os.path.exists(out_path) and not _looks_like_checkpoint(out_path):
+        # A typo'd --out pointing at a data directory must never be
+        # rmtree'd; only something recognizably a (possibly crash-orphaned)
+        # framework checkpoint is replaceable.
+        raise ValueError(
+            f"refusing to overwrite {out_path!r}: it exists but does not "
+            "look like a framework checkpoint (expected a directory with a "
+            ".json sidecar or orbax metadata) — remove it yourself or pick "
+            "another --out"
         )
-    return out_path
+    from shapegen_tpu.train.checkpoints import atomic_save
+
+    return atomic_save(
+        out_path, jax.device_get(payload),
+        {
+            "epoch": epoch,
+            "monitor": "imported",
+            "value": None,
+            "hparams": hparams,
+            "extra": {
+                "imported_from": source,
+                "scheduler": scheduler_state,
+                "note": (
+                    "weights+BN stats+Adam moments imported"
+                    if adam is not None
+                    else "weights+BN stats imported; optimizer state fresh"
+                ),
+            },
+        },
+    )
 
 
 def import_lightning_checkpoint(
