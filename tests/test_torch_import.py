@@ -326,6 +326,37 @@ def test_point_diffusion_ckpt_import_end_to_end(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 
 
+def test_imported_checkpoint_exports_to_serving(tmp_path, rng):
+    """The full migration loop: a reference Lightning .ckpt imports, loads
+    through factory, and exports to the AOT StableHLO serving artifact —
+    which reproduces the live sampler from the imported weights exactly."""
+    from shapegen_tpu import serving
+
+    src = RefUNetPointNetLarge(dim=32, time_dim=32)
+    _randomize_bn(src, rng)
+    src.eval()
+    ckpt = _fake_lightning_ckpt(
+        tmp_path,
+        {f"model.{k}": v for k, v in src.state_dict().items()},
+        {"num_points": 64, "dim": 32, "time_dim": 32, "lr": 2e-4,
+         "noise_schedule": "cosine"},
+    )
+    out = str(tmp_path / "serve_imported.ckpt")
+    torch_import.import_lightning_checkpoint(ckpt, out)
+    task, state, _ = factory.load_task_checkpoint(out)
+
+    blob = serving.export_sampler(
+        task, state, num_samples=2, num_points=16, num_steps=5
+    )
+    run = serving.load_sampler(blob)
+    out = np.asarray(run(serving.key_data(24)))
+    assert out.shape == (2, 16, 3) and np.isfinite(out).all()
+    # Matches the live sampler from the imported state up to
+    # compilation-order float noise (same bound as test_serving.py).
+    live = task.sample(state, jax.random.PRNGKey(24), 2, 16, num_steps=5)
+    np.testing.assert_allclose(out, np.asarray(live), rtol=1e-4, atol=1e-4)
+
+
 def test_latent_diffusion_ckpt_import_splits_vae(tmp_path, rng):
     denoiser = RefSimpleLatentUNet(latent_dim=16, dim=32, time_dim=16)
     denoiser.eval()
