@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
+from shapegen_tpu.ops import voxel_to_points_padded
+
 
 def export_sampler(
     task,
@@ -62,6 +64,78 @@ def export_conditional_sampler(
             state, key, labels, num_points=num_points, num_steps=num_steps,
             guidance_scale=guidance_scale,
         )
+
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax_export.export(jax.jit(run), **kwargs)(key_spec)
+    return bytes(exported.serialize())
+
+
+def export_ldm_sampler(
+    task,
+    state,
+    num_samples: int,
+    num_steps: int = 1000,
+    threshold: float = 0.4,
+    max_points: int = 2048,
+    platforms=None,
+) -> bytes:
+    """Serialize the FULL latent-diffusion pipeline as one program.
+
+    One StableHLO artifact contains the whole reference inference path
+    (diffusion.py:619-653): the 1000-step latent DDIM `lax.scan`, the frozen
+    VAE decode, and — for voxel-based LDMs — the thresholded voxel→point
+    conversion (threshold 0.4, diffusion.py:576,620). The ragged output of
+    the reference (utils.py:511-538 returns variable-length lists) becomes
+    a static (points, mask, count) triple; de-padding stays a host edge in
+    the consumer. Point-VAE LDMs return decoded (B, N, 3) clouds directly.
+    """
+
+    def run(key_data):
+        key = jax.random.wrap_key_data(key_data)
+        z0 = task.sample_latents(state, key, num_samples, num_steps)
+        x = task.decode(z0)
+        if not task.is_voxel_based:
+            return x
+        grids = jnp.squeeze(x, axis=-1)
+        return voxel_to_points_padded(
+            grids, max_points=max_points, threshold=threshold
+        )
+
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax_export.export(jax.jit(run), **kwargs)(key_spec)
+    return bytes(exported.serialize())
+
+
+def export_vae_sampler(
+    task,
+    state,
+    num_samples: int,
+    threshold: float = 0.4,
+    max_points: int = 2048,
+    platforms=None,
+) -> bytes:
+    """Serialize prior-draw VAE generation (networks.py:2446-2462).
+
+    Voxel VAEs (VAE3D / VAE3DLarge): z ~ N(0, I) → decode → thresholded
+    occupancy → padded (points, mask, count). Point VAEs
+    (SimplePointNetVAE / PointNetVAE): z → decoded (B, N, 3) clouds.
+    """
+
+    def run(key_data):
+        key = jax.random.wrap_key_data(key_data)
+        if hasattr(task, "sample_voxels"):
+            voxels = task.sample_voxels(state, key, num_samples)
+            grids = jnp.squeeze(voxels, axis=-1)
+            return voxel_to_points_padded(
+                grids, max_points=max_points, threshold=threshold
+            )
+        return task.sample(state, key, num_samples)
 
     key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
     kwargs = {}

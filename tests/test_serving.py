@@ -71,6 +71,96 @@ def test_export_runs_in_consumer_process_without_model_code(tmp_path):
     np.testing.assert_array_equal(here, theirs)
 
 
+def test_export_ldm_pipeline_roundtrip():
+    """ONE artifact holds the whole LDM inference path: latent DDIM scan →
+    frozen VAE decode → voxel→point conversion (diffusion.py:619-653)."""
+    from shapegen_tpu.ops import voxel_to_points_padded
+
+    vae = models.VAE3DLarge(latent_dim=16)
+    rng = jax.random.PRNGKey(0)
+    vae_vars = vae.init(rng, jnp.zeros((1, 32, 32, 32, 1)), rng, train=False)
+    task = tasks.LatentDiffusionTask(
+        models.SimpleLatentUNet(latent_dim=16, dim=32, time_dim=32),
+        vae, vae_vars, latent_dim=16, max_epochs=2,
+    )
+    state = task.init_state(jax.random.PRNGKey(1), jnp.zeros((2, 16)))
+
+    blob = serving.export_ldm_sampler(
+        task, state, num_samples=2, num_steps=3, threshold=0.4, max_points=64
+    )
+    pts, mask, count = serving.load_sampler(blob)(serving.key_data(11))
+    assert pts.shape == (2, 64, 3) and mask.shape == (2, 64)
+    assert np.isfinite(np.asarray(pts)).all()
+
+    z0 = task.sample_latents(state, jax.random.PRNGKey(11), 2, num_steps=3)
+    grids = jnp.squeeze(task.decode(z0), axis=-1)
+    live_pts, live_mask, live_count = voxel_to_points_padded(
+        grids, max_points=64, threshold=0.4
+    )
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(live_count))
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(live_mask))
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(live_pts),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_export_ldm_point_vae_returns_clouds():
+    """Point-VAE LDMs skip voxel conversion: the artifact emits (B, N, 3)."""
+    vae = models.SimplePointNetVAE(num_points=64, latent_dim=16)
+    rng = jax.random.PRNGKey(0)
+    vae_vars = vae.init(rng, jnp.zeros((1, 64, 3)), rng, train=False)
+    task = tasks.LatentDiffusionTask(
+        models.SimpleLatentUNet(latent_dim=16, dim=32, time_dim=32),
+        vae, vae_vars, latent_dim=16, is_voxel_based=False, max_epochs=2,
+    )
+    state = task.init_state(jax.random.PRNGKey(1), jnp.zeros((2, 16)))
+
+    blob = serving.export_ldm_sampler(task, state, num_samples=2, num_steps=3)
+    out = serving.load_sampler(blob)(serving.key_data(3))
+    assert out.shape == (2, 64, 3)
+    z0 = task.sample_latents(state, jax.random.PRNGKey(3), 2, num_steps=3)
+    live = task.decode(z0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_export_vae_prior_sampler_roundtrip():
+    """VAE prior-draw generation (networks.py:2446-2462) as one artifact."""
+    from shapegen_tpu.ops import voxel_to_points_padded
+
+    task = tasks.VAE3DLargeTask(models.VAE3DLarge(latent_dim=16), max_epochs=2)
+    state = task.init_state(
+        jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 32, 1))
+    )
+    blob = serving.export_vae_sampler(
+        task, state, num_samples=2, threshold=0.4, max_points=64
+    )
+    pts, mask, count = serving.load_sampler(blob)(serving.key_data(5))
+    assert pts.shape == (2, 64, 3)
+
+    voxels = task.sample_voxels(state, jax.random.PRNGKey(5), 2)
+    live_pts, live_mask, live_count = voxel_to_points_padded(
+        jnp.squeeze(voxels, axis=-1), max_points=64, threshold=0.4
+    )
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(live_count))
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(live_pts),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_export_point_vae_prior_sampler():
+    task = tasks.PointNetVAETask(
+        models.PointNetVAE(num_points=64, latent_dim=16)
+    )
+    state = task.init_state(jax.random.PRNGKey(0), jnp.zeros((2, 64, 3)))
+    blob = serving.export_vae_sampler(task, state, num_samples=2)
+    out = serving.load_sampler(blob)(serving.key_data(13))
+    assert out.shape == (2, 64, 3)
+    live = task.sample(state, jax.random.PRNGKey(13), 2)
+    # The exported program and the op-by-op live path fuse/reassociate f32
+    # matmuls differently; the untrained decoder amplifies that to ~2e-4 rel.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_export_conditional_roundtrip():
     model = models.PointUNetLarge(dim=32, time_dim=32, num_classes=5)
     task = tasks.PointDiffusionTask(model, num_points=16, num_classes=5)
