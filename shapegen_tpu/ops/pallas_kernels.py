@@ -203,8 +203,9 @@ def _make_min_dists_vjp(interpret: bool):
 
     @jax.custom_vjp
     def min_dists(x, y):
-        d_xy, d_yx, _, _ = min_dists_with_args_pallas(x, y, interpret=interpret)
-        return d_xy, d_yx
+        # Undifferentiated primal: JAX only runs `fwd` under differentiation,
+        # so a forward-only call skips the argmin tracking entirely.
+        return min_dists_pallas(x, y, interpret=interpret)
 
     def fwd(x, y):
         d_xy, d_yx, i_xy, i_yx = min_dists_with_args_pallas(
@@ -233,7 +234,15 @@ def min_dists_vjp(
     x: jnp.ndarray, y: jnp.ndarray, interpret: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable (min_xy, min_yx) squared NN distances (see
-    _make_min_dists_vjp). Safe under jax.grad/value_and_grad."""
+    _make_min_dists_vjp). Safe under jax.grad/value_and_grad.
+
+    The f32 cast happens HERE, outside the custom_vjp boundary: the bwd
+    rule emits f32 cotangents, so non-f32 (e.g. bf16) inputs must cross
+    into the VJP already as f32 — astype's own transpose then casts the
+    gradient back to the caller's dtype.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     return _make_min_dists_vjp(bool(interpret))(x, y)
 
 

@@ -161,29 +161,58 @@ def atomic_save(path: str, host_state: Any, meta: Dict) -> str:
 
     Atomicity contract: a failed or interrupted save can never destroy an
     existing checkpoint at ``path``, and no crash window pairs a NEW payload
-    with a STALE sidecar — the old sidecar is removed before the payload
-    rename, so the worst interruption leaves an orbax directory without a
-    sidecar (recognizable and safely re-writable), never a mismatched pair.
+    with a STALE sidecar. The swap is rename-only (no multi-second rmtree
+    between the old payload disappearing and the new one landing): the old
+    directory is renamed aside to ``path + ".old"`` and only deleted after
+    the new payload + sidecar are in place. The worst interruption leaves
+    either (a) a payload without a sidecar (recognizable, safely
+    re-writable), or (b) ``path`` briefly absent with the COMPLETE new
+    payload at ``path + ".tmp"`` and the old one at ``path + ".old"`` —
+    ``recover_interrupted_save`` (called by ``find_latest_checkpoint``)
+    finishes that swap at read time.
     """
     path = os.path.abspath(path)
     tmp = path + ".tmp"
+    old = path + ".old"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
+    shutil.rmtree(old, ignore_errors=True)
     ckpt = _make_checkpointer()
     ckpt.save(tmp, host_state)
     ckpt.wait_until_finished()
     sidecar_tmp = tmp + ".json"
     with open(sidecar_tmp, "w") as f:
         json.dump(meta, f)
+    # Old sidecar goes first so no window pairs the new payload with it.
     try:
         os.remove(path + ".json")
     except OSError:
         pass
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
     os.replace(sidecar_tmp, path + ".json")
+    shutil.rmtree(old, ignore_errors=True)
     return path
+
+
+def recover_interrupted_save(path: str) -> None:
+    """Finish an ``atomic_save`` swap interrupted between its renames.
+
+    No-op when ``path`` exists. Otherwise prefers the complete NEW payload
+    (``path + ".tmp"`` with its sidecar — everything after the payload write
+    finished), falling back to the renamed-aside OLD payload.
+    """
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        return
+    tmp, old = path + ".tmp", path + ".old"
+    if os.path.isdir(tmp) and os.path.exists(tmp + ".json"):
+        os.rename(tmp, path)
+        os.replace(tmp + ".json", path + ".json")
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        os.rename(old, path)
 
 
 def save_last_checkpoint(
@@ -208,6 +237,7 @@ def find_latest_checkpoint(dirpath: str) -> Optional[str]:
     if not os.path.isdir(dirpath):
         return None
     last = os.path.join(dirpath, "last.ckpt")
+    recover_interrupted_save(last)
     if os.path.exists(last):
         return last
     ckpts = [

@@ -82,13 +82,19 @@ class CosineAnnealingLR:
         return self.lr
 
     def state_dict(self):
-        return {"epoch": self.epoch, "lr": self.lr, "t_max": self.t_max}
+        return {
+            "epoch": self.epoch,
+            "lr": self.lr,
+            "t_max": self.t_max,
+            "base_lr": self.base_lr,
+        }
 
     def load_state_dict(self, d):
         self.epoch = d["epoch"]
         self.lr = d["lr"]
-        # torch restores T_max from the scheduler state on resume (so the
-        # annealing horizon sticks to the ORIGINAL run's max_epochs even if
-        # the resuming trainer's differs) — match that. Older sidecars lack
-        # the key; keep the ctor value then.
+        # torch restores T_max AND base_lrs from the scheduler state on
+        # resume (so the annealing horizon and amplitude stick to the
+        # ORIGINAL run's values even if the resuming trainer's differ) —
+        # match that. Older sidecars lack the keys; keep ctor values then.
         self.t_max = d.get("t_max", self.t_max)
+        self.base_lr = d.get("base_lr", self.base_lr)

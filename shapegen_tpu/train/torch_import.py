@@ -318,6 +318,11 @@ def convert_scheduler_state(
         # Pin the annealing horizon to the source run's (torch restores
         # T_max from scheduler state; the framework controller honors it).
         state["t_max"] = int(entry["T_max"])
+    if entry.get("base_lrs"):
+        # Likewise the annealing amplitude: torch restores base_lrs, so
+        # post-resume steps recompute from the SOURCE run's base LR even
+        # if the resuming trainer's hparams lr differs.
+        state["base_lr"] = float(entry["base_lrs"][0])
     return state
 
 

@@ -67,6 +67,63 @@ def test_find_latest_prefers_last(tmp_path):
     assert find_latest_checkpoint(str(tmp_path / "missing")) is None
 
 
+def test_atomic_save_interrupted_swap_recovers(tmp_path):
+    """atomic_save's crash windows never lose a checkpoint.
+
+    The swap is rename-only: old payload renamed aside to .old, new renamed
+    in from .tmp. A crash between the renames leaves `path` absent with the
+    COMPLETE new payload at .tmp — find_latest_checkpoint must finish the
+    swap (preferring the new payload) instead of silently falling back to an
+    older top-k file or None."""
+    import shutil
+
+    from shapegen_tpu.train.checkpoints import (
+        atomic_save, load_checkpoint, recover_interrupted_save,
+    )
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    path = str(d / "last.ckpt")
+    old_state = {"w": np.full((2,), 1.0, np.float32)}
+    new_state = {"w": np.full((2,), 2.0, np.float32)}
+
+    # Window (b): crash after the old payload moved aside, before the new
+    # one renamed in. Rebuild that exact on-disk state from real saves.
+    atomic_save(path, new_state, {"epoch": 1})
+    os.rename(path, path + ".tmp")
+    os.rename(path + ".json", path + ".tmp.json")
+    # (the "old" payload that was renamed aside)
+    atomic_save(path + ".old.build", old_state, {"epoch": 0})
+    os.rename(path + ".old.build", path + ".old")
+    os.remove(path + ".old.build.json")
+
+    found = find_latest_checkpoint(str(d))
+    assert found == path
+    state, meta = load_checkpoint(path)
+    assert float(state["w"][0]) == 2.0  # the NEW payload won
+    assert meta["epoch"] == 1
+    assert not os.path.exists(path + ".tmp")
+    assert not os.path.exists(path + ".old")
+
+    # Window (a'): crash BEFORE the new sidecar was written — .tmp payload
+    # exists but has no sidecar, old was already renamed aside. Recovery
+    # must fall back to the old payload rather than adopt a sidecar-less new.
+    os.rename(path, path + ".tmp")
+    shutil.move(path + ".json", str(d / "stash.json"))
+    atomic_save(path + ".old.build", old_state, {"epoch": 0})
+    os.rename(path + ".old.build", path + ".old")
+    os.remove(path + ".old.build.json")
+
+    recover_interrupted_save(path)
+    assert os.path.isdir(path)
+    state2, _ = load_checkpoint(path)
+    assert float(state2["w"][0]) == 1.0  # fell back to the OLD payload
+
+    # No-op when the path already exists.
+    recover_interrupted_save(path)
+    assert os.path.isdir(path)
+
+
 def test_topk_ledger_survives_restart(tmp_path):
     """A fresh TopKCheckpointer rehydrates its ledger from the directory, so
     a resumed run keeps Lightning's persisted-ModelCheckpoint-state semantics

@@ -726,14 +726,17 @@ def test_scheduler_state_carries_into_sidecar(tmp_path, rng):
     task, state, meta = factory.load_task_checkpoint(out)
     saved = meta["extra"]["scheduler"]
     assert saved == {"epoch": 4, "lr": pytest.approx(live_lr, rel=1e-6),
-                     "t_max": 40}
+                     "t_max": 40, "base_lr": pytest.approx(1e-3, rel=1e-9)}
     # Trainer-resume path: make_scheduler + load_state_dict restores the
-    # live LR instead of the hparams base, and the source run's T_max.
+    # live LR instead of the hparams base, and the source run's T_max and
+    # base LR (torch restores base_lrs with T_max — the amplitude must
+    # come from the SOURCE run even if the resuming hparams lr differs).
     ctrl = task.make_scheduler()
     ctrl.load_state_dict(saved)
     assert ctrl.lr == pytest.approx(live_lr, rel=1e-6)
     assert ctrl.epoch == 4
     assert ctrl.t_max == 40
+    assert ctrl.base_lr == pytest.approx(1e-3, rel=1e-9)
     # The next framework step continues the TORCH trajectory exactly.
     sched.step()
     ctrl.step()
