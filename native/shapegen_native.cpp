@@ -8,9 +8,11 @@
 //
 // Build: make -C native   (produces libshapegen_native.so)
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <vector>
 
 extern "C" {
 
@@ -88,6 +90,145 @@ void points_to_voxels_f32(const float* points, int64_t n, int64_t res,
         if (zi < 0) zi = 0; if (zi >= res) zi = res - 1;
         out_grid[(zi * res + yi) * res + xi] = 1.0f;
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact linear sum assignment (the Hungarian-EMD hot path).
+//
+// The reference's exact EMD (metrics.py:49-92) is scipy's
+// linear_sum_assignment over a dense Euclidean cost matrix — on the eval
+// host this is the floor of the whole test pipeline (the device metrics
+// overlap it; BASELINE.md "eval overlap"). This is the same shortest
+// augmenting path algorithm scipy implements (Crouse 2016, "On implementing
+// 2D rectangular assignment algorithms"), with two host-side wins:
+//   * the cost matrix stays float32 (scipy converts to float64): half the
+//     bytes through every O(n^2) Dijkstra scan of the O(n^3) algorithm —
+//     the scans are bandwidth-bound at n=2048 (16 MB matrix >> L2);
+//   * path bookkeeping (potentials, shortest-path costs) stays float64, so
+//     the assignment is optimal for the float32-rounded costs exactly as
+//     scipy's is after its own f32->f64 conversion of the same matrix.
+// Requires n <= m (the Python wrapper transposes otherwise).
+// Returns 0 on success, -1 on infeasibility (cannot happen for finite
+// costs) — col4row[i] = assigned column of row i.
+
+static int lsa_f32_impl(const float* cost, int64_t n, int64_t m,
+                        int32_t* col4row) {
+    const double INF = std::numeric_limits<double>::infinity();
+    std::vector<double> u(n, 0.0), v(m, 0.0), shortest(m);
+    std::vector<int32_t> path(m, -1), row4col(m, -1);
+    std::vector<int32_t> remaining(m);
+    std::vector<char> scanned_rows(n);
+    std::vector<int32_t> scanned_cols;
+    scanned_cols.reserve(m);
+    for (int64_t i = 0; i < n; ++i) col4row[i] = -1;
+
+    for (int64_t cur_row = 0; cur_row < n; ++cur_row) {
+        std::fill(shortest.begin(), shortest.end(), INF);
+        std::fill(scanned_rows.begin(), scanned_rows.end(), 0);
+        scanned_cols.clear();
+        for (int64_t j = 0; j < m; ++j) remaining[j] = (int32_t)j;
+        int64_t num_remaining = m;
+        double min_val = 0.0;
+        int64_t sink = -1;
+        int64_t i = cur_row;
+
+        while (sink == -1) {
+            scanned_rows[i] = 1;
+            const float* row = cost + i * m;
+            const double ui = u[i];
+            int64_t index = -1;
+            double lowest = INF;
+            for (int64_t it = 0; it < num_remaining; ++it) {
+                const int32_t j = remaining[it];
+                const double r = min_val + (double)row[j] - ui - v[j];
+                if (r < shortest[j]) {
+                    path[j] = (int32_t)i;
+                    shortest[j] = r;
+                }
+                // Tie-break toward an unassigned column: ends the Dijkstra
+                // pass one step earlier (same rule as scipy).
+                if (shortest[j] < lowest ||
+                    (shortest[j] == lowest && row4col[j] == -1)) {
+                    lowest = shortest[j];
+                    index = it;
+                }
+            }
+            min_val = lowest;
+            if (min_val == INF) return -1;  // infeasible
+            const int32_t j = remaining[index];
+            if (row4col[j] == -1) {
+                sink = j;
+            } else {
+                i = row4col[j];
+            }
+            scanned_cols.push_back(j);
+            remaining[index] = remaining[--num_remaining];
+        }
+
+        // Update dual variables (potentials).
+        u[cur_row] += min_val;
+        for (int64_t r = 0; r < n; ++r) {
+            if (scanned_rows[r] && r != cur_row) {
+                u[r] += min_val - shortest[col4row[r]];
+            }
+        }
+        for (int32_t j : scanned_cols) {
+            v[j] -= min_val - shortest[j];
+        }
+
+        // Augment along the alternating path back from the sink.
+        int64_t j = sink;
+        while (true) {
+            const int32_t r = path[j];
+            row4col[j] = r;
+            const int32_t prev = col4row[r];
+            col4row[r] = (int32_t)j;
+            if (r == (int32_t)cur_row) break;
+            j = prev;
+        }
+    }
+    return 0;
+}
+
+extern "C" {
+
+int lsa_f32(const float* cost, int64_t n, int64_t m, int32_t* col4row) {
+    if (n <= 0 || m <= 0 || n > m) return -2;
+    return lsa_f32_impl(cost, n, m, col4row);
+}
+
+// Exact Hungarian EMD for one point-cloud pair (metrics.py:49-92 semantics
+// minus the cube normalization, which the caller applies): builds the
+// direct-form Euclidean cost matrix (no matmul cancellation — exact f32
+// per-element distances, unlike the |x|^2+|y|^2-2xy form) into caller
+// scratch, solves the assignment, and returns sum(cost[i, col4row[i]]).
+// x: (n, dim), y: (m, dim) float32, n <= m (caller swaps otherwise; the
+// assignment total is symmetric). scratch: n*m floats. Returns -1.0 on
+// error.
+double emd_pair_f32(const float* x, int64_t n, const float* y, int64_t m,
+                    int64_t dim, float* scratch, int32_t* col4row) {
+    if (n <= 0 || m <= 0 || dim <= 0 || n > m) return -1.0;
+    for (int64_t i = 0; i < n; ++i) {
+        const float* xi = x + i * dim;
+        float* out = scratch + i * m;
+        for (int64_t j = 0; j < m; ++j) {
+            const float* yj = y + j * dim;
+            float acc = 0.0f;
+            for (int64_t k = 0; k < dim; ++k) {
+                const float d = xi[k] - yj[k];
+                acc += d * d;
+            }
+            out[j] = std::sqrt(acc);
+        }
+    }
+    if (lsa_f32_impl(scratch, n, m, col4row) != 0) return -1.0;
+    double total = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        total += (double)scratch[i * m + col4row[i]];
+    }
+    return total;
 }
 
 }  // extern "C"

@@ -291,13 +291,30 @@ def pairwise_emd_matrix(
     return jax.lax.map(one_gen, gen, batch_size=block)
 
 
+def _hungarian_emd_pair(x_pc: np.ndarray, y_pc: np.ndarray) -> float:
+    """One exact-EMD pair: sum of optimally-assigned Euclidean distances /
+    max(n, m) (metrics.py:49-92 inner loop). Prefers the native C++ solver
+    (fused direct-form cost build + f32 shortest-augmenting-path assignment,
+    native/shapegen_native.cpp — several times faster than the
+    numpy-cost + scipy path and exact for the same f32 costs); falls back
+    to scipy when no native library/toolchain is available."""
+    from shapegen_tpu import native
+
+    emd = native.emd_pair(x_pc, y_pc)
+    if emd is not None:
+        return emd
+    from scipy.optimize import linear_sum_assignment
+
+    distances = np.linalg.norm(x_pc[:, None] - y_pc[None, :], axis=-1)
+    row_ind, col_ind = linear_sum_assignment(distances)
+    return distances[row_ind, col_ind].sum() / max(x_pc.shape[0], y_pc.shape[0])
+
+
 def earth_mover_distance_hungarian(
     x, y, scaling_factor: float = 1.0
 ) -> float:
     """Exact EMD via the Hungarian algorithm — host-side oracle
     (metrics.py:49-92). x, y: (B, N, 3)/(B, M, 3) or unbatched arrays."""
-    from scipy.optimize import linear_sum_assignment
-
     x = np.asarray(jax.device_get(_as_batched(jnp.asarray(x, jnp.float32))))
     y = np.asarray(jax.device_get(_as_batched(jnp.asarray(y, jnp.float32))))
     assert x.shape[0] == y.shape[0], "Batch sizes must be the same"
@@ -306,12 +323,7 @@ def earth_mover_distance_hungarian(
     x = np.asarray(jax.device_get(normalize_to_cube(jnp.asarray(x))))
     y = np.asarray(jax.device_get(normalize_to_cube(jnp.asarray(y))))
 
-    emds = []
-    for x_pc, y_pc in zip(x, y):
-        distances = np.linalg.norm(x_pc[:, None] - y_pc[None, :], axis=-1)
-        row_ind, col_ind = linear_sum_assignment(distances)
-        emd = distances[row_ind, col_ind].sum() / max(x_pc.shape[0], y_pc.shape[0])
-        emds.append(emd)
+    emds = [_hungarian_emd_pair(x_pc, y_pc) for x_pc, y_pc in zip(x, y)]
     return float(np.mean(emds) * scaling_factor)
 
 
@@ -463,17 +475,17 @@ def _pair_metrics_device(gen, ref, use_sinkhorn: bool, use_pallas: bool):
 def _hungarian_pairs_host(
     x: np.ndarray, y: np.ndarray, workers: Optional[int] = None
 ) -> np.ndarray:
-    """Exact per-pair Hungarian EMD, pure host (numpy+scipy — deliberately no
-    device dispatch, so it can run WHILE a device program computes).
+    """Exact per-pair Hungarian EMD, pure host (native C++ solver or
+    numpy+scipy — deliberately no device dispatch, so it can run WHILE a
+    device program computes).
 
-    Pairs are independent and scipy's linear_sum_assignment releases the GIL,
-    so they additionally fan out over `workers` threads (default: cpu_count,
-    capped at the pair count) — on a multi-core eval host the O(n^3)
-    assignment floor divides by the core count."""
+    Pairs are independent and both solvers release the GIL (ctypes foreign
+    calls do; so does scipy's linear_sum_assignment), so they additionally
+    fan out over `workers` threads (default: cpu_count, capped at the pair
+    count) — on a multi-core eval host the O(n^3) assignment floor divides
+    by the core count."""
     import os
     from concurrent.futures import ThreadPoolExecutor
-
-    from scipy.optimize import linear_sum_assignment
 
     def cube(p):
         center = (p.max(axis=-2, keepdims=True) + p.min(axis=-2, keepdims=True)) / 2.0
@@ -484,10 +496,7 @@ def _hungarian_pairs_host(
     y = cube(np.asarray(y, np.float32))
 
     def one_pair(pair):
-        x_pc, y_pc = pair
-        d = np.linalg.norm(x_pc[:, None] - y_pc[None, :], axis=-1)
-        row, col = linear_sum_assignment(d)
-        return d[row, col].sum() / max(x_pc.shape[0], y_pc.shape[0])
+        return _hungarian_emd_pair(*pair)
 
     pairs = list(zip(x, y))
     n_workers = min(workers or os.cpu_count() or 1, len(pairs))

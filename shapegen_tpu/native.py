@@ -21,23 +21,38 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _make(force: bool = False) -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR] + (["-B"] if force else []),
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
-            return None
+    if not os.path.exists(_LIB_PATH) and not _make():
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "lsa_f32"):
+        # Stale .so predating the assignment solver: rebuild and reload.
+        if not _make(force=True):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        if not hasattr(lib, "lsa_f32"):
+            return None
 
     lib.fps_f32.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
@@ -56,6 +71,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.points_to_voxels_f32.restype = None
+    lib.lsa_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.lsa_f32.restype = ctypes.c_int
+    lib.emd_pair_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.emd_pair_f32.restype = ctypes.c_double
     _lib = lib
     return _lib
 
@@ -109,6 +135,63 @@ def voxels_to_points(voxels: np.ndarray, threshold: float = 0.5,
     zz, yy, xx = np.nonzero(voxels > threshold)
     pts = np.stack([xx, yy, zz], axis=1).astype(np.float32)
     return pts[:capacity] if capacity else pts
+
+
+def lsa(cost: np.ndarray) -> Optional[np.ndarray]:
+    """Exact linear sum assignment over a dense (n, m) cost matrix.
+
+    Returns col4row (n,) int32 — the assigned column per row — or None when
+    the native library is unavailable (callers fall back to scipy). Same
+    shortest-augmenting-path algorithm as scipy.optimize.linear_sum_assignment
+    (Crouse 2016), with the cost matrix kept float32 (half the bandwidth of
+    scipy's internal float64 copy) and float64 duals, so the result is
+    optimal for the float32-rounded costs. Handles n > m by solving the
+    transpose and inverting the assignment.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    cost = np.ascontiguousarray(cost, np.float32)
+    n, m = cost.shape
+    if n > m:
+        row4col = lsa(np.ascontiguousarray(cost.T))
+        if row4col is None:
+            return None
+        col4row = np.full(n, -1, np.int32)
+        col4row[row4col] = np.arange(m, dtype=np.int32)
+        return col4row
+    out = np.empty(n, np.int32)
+    rc = lib.lsa_f32(
+        _fptr(cost), n, m, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    )
+    return out if rc == 0 else None
+
+
+def emd_pair(x: np.ndarray, y: np.ndarray) -> Optional[float]:
+    """Exact Hungarian EMD for one (n, 3)/(m, 3) pair — fused cost build +
+    assignment in C++ (metrics.py:49-92 inner loop minus cube normalization,
+    which the caller applies). The cost matrix is the exact direct-form
+    Euclidean distance (no matmul cancellation). Returns
+    sum(assigned dists) / max(n, m), or None if native is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    if x.shape[0] > y.shape[0]:
+        x, y = y, x  # assignment total is symmetric; solver needs n <= m
+    n, m = x.shape[0], y.shape[0]
+    dim = x.shape[1]
+    scratch = np.empty((n, m), np.float32)
+    col4row = np.empty(n, np.int32)
+    total = lib.emd_pair_f32(
+        _fptr(x), n, _fptr(y), m, dim, _fptr(scratch),
+        col4row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if total < 0:
+        return None
+    return float(total) / max(n, m)
 
 
 def points_to_voxels(points: np.ndarray, resolution: int = 32) -> np.ndarray:

@@ -69,3 +69,62 @@ def test_roundtrip_native_vs_numpy(rng):
     zz, yy, xx = np.nonzero(g > 0.5)
     pts_np = np.stack([xx, yy, zz], 1).astype(np.float32)
     np.testing.assert_array_equal(pts_native, pts_np)
+
+
+def test_lsa_matches_scipy(rng):
+    """The native shortest-augmenting-path solver finds the same optimal
+    assignment TOTAL as scipy's linear_sum_assignment (individual matchings
+    may differ on exact ties; the optimum value is unique)."""
+    from scipy.optimize import linear_sum_assignment
+
+    if not native.available():
+        pytest.skip("no native lib")
+    for n, m in [(1, 1), (5, 5), (17, 23), (23, 17), (128, 128), (64, 200),
+                 (200, 64)]:
+        c = rng.random((n, m)).astype(np.float32)
+        col4row = native.lsa(c)
+        rows = np.flatnonzero(col4row >= 0)
+        got = c[rows, col4row[rows]].sum(dtype=np.float64)
+        r, cc = linear_sum_assignment(c)
+        want = c[r, cc].sum(dtype=np.float64)
+        assert got == pytest.approx(want, rel=1e-5), (n, m)
+        # A valid assignment: distinct columns, min(n, m) of them.
+        assert len(rows) == min(n, m)
+        assert len(set(col4row[rows].tolist())) == min(n, m)
+
+    # Heavy exact ties (integer costs) still land on the optimum.
+    c = rng.integers(0, 4, (60, 60)).astype(np.float32)
+    col4row = native.lsa(c)
+    r, cc = linear_sum_assignment(c)
+    assert c[np.arange(60), col4row].sum() == pytest.approx(c[r, cc].sum())
+
+
+def test_emd_pair_matches_reference_formula(rng):
+    """native.emd_pair == the reference's exact-EMD inner loop
+    (metrics.py:49-92): direct-form Euclidean costs, Hungarian assignment,
+    sum / max(n, m) — including unequal point counts both ways."""
+    from scipy.optimize import linear_sum_assignment
+
+    if not native.available():
+        pytest.skip("no native lib")
+    for n, m in [(180, 150), (150, 180), (128, 128)]:
+        x = rng.standard_normal((n, 3)).astype(np.float32)
+        y = rng.standard_normal((m, 3)).astype(np.float32)
+        d = np.linalg.norm(x[:, None] - y[None, :], axis=-1)
+        r, cc = linear_sum_assignment(d)
+        want = d[r, cc].sum() / max(n, m)
+        assert native.emd_pair(x, y) == pytest.approx(want, rel=1e-5)
+
+
+def test_hungarian_metrics_native_vs_scipy_paths(rng, monkeypatch):
+    """earth_mover_distance_hungarian gives the same value through the
+    native solver and the scipy fallback (the fallback is forced by
+    stubbing the native pair out)."""
+    from shapegen_tpu.metrics import metrics as M
+
+    x = rng.standard_normal((3, 96, 3)).astype(np.float32)
+    y = rng.standard_normal((3, 80, 3)).astype(np.float32)
+    via_native = M.earth_mover_distance_hungarian(x, y)
+    monkeypatch.setattr(native, "emd_pair", lambda *a, **k: None)
+    via_scipy = M.earth_mover_distance_hungarian(x, y)
+    assert via_native == pytest.approx(via_scipy, rel=1e-5)
