@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -38,6 +39,29 @@ from shapegen_tpu.models.layers import (
 )
 
 Dtype = Any
+
+# Tensor-parallel sharding rules for PointUNetLarge on an N-D mesh with a
+# 'model' axis (parallel.mesh.tree_shardings consumes these; the 1-D data
+# mesh stays the perf default — see docs/ARCHITECTURE.md). Megatron-style
+# column->row split of the widest pair, the global-feature chain:
+#   * DenseBN_0 (1024 -> 2048) column-parallel: kernel out-dim, bias and the
+#     BatchNorm scale/bias/mean/var all shard per-channel — BN batch stats
+#     are per-channel reductions over (B, N), so they stay LOCAL to each
+#     model shard (no cross-axis comms through the norm);
+#   * DenseBN_1 (2048 -> 4096) row-parallel: the kernel's contracting dim
+#     matches the sharded activation, XLA inserts ONE psum over the (B, N,
+#     4096) partial sums, after which bias/BN/max-pool run replicated.
+# The fixed-width negative lookbehind keeps the rules off the PointNetLayer
+# submodules that also contain a DenseBN_0/DenseBN_1.
+POINT_UNET_LARGE_TP_RULES = [
+    (r"(?<!PointNetLayer_\d/)DenseBN_0/Dense_0/kernel$",
+     jax.sharding.PartitionSpec(None, "model")),
+    (r"(?<!PointNetLayer_\d/)DenseBN_0/(Dense_0/bias|BatchNorm_0/"
+     r"(bias|scale|mean|var))$",
+     jax.sharding.PartitionSpec("model")),
+    (r"(?<!PointNetLayer_\d/)DenseBN_1/Dense_0/kernel$",
+     jax.sharding.PartitionSpec("model", None)),
+]
 
 
 class TimeMLP(nn.Module):

@@ -2,19 +2,26 @@
 
 The reference has **no** multi-device support (devices=1 everywhere,
 train_point_ddpm.py:82; SURVEY.md §2.10). Here scale-out is first-class and
-TPU-native: a 1-D ``jax.sharding.Mesh`` over the 'data' axis, batch-sharded
-train steps (XLA inserts the psum gradient/batch-stat reductions over ICI),
+TPU-native: a ``jax.sharding.Mesh`` whose 'data' axis carries batch-sharded
+train steps (XLA inserts the psum gradient/batch-stat reductions over ICI)
 and sampler fan-out where num_samples shards across chips with latents
 HBM-resident for the whole lax.scan.
 
-The mesh API is deliberately N-D-ready (axis_names tuple) so tensor/pipeline
-axes can be added later, but only 'data' is used for reference parity — the
-largest model is ~21M params and fits per-chip.
+N-D meshes are supported: pass ``axis_names=("data", "model")`` +
+``mesh_shape`` and a rules-based parameter-sharding tree
+(``tree_shardings``/``shard_state``) to add tensor parallelism on top of DP
+— see models/point_unet.py::POINT_UNET_LARGE_TP_RULES for the flagship's
+Megatron-style column->row split of its global-feature chain. For reference
+parity the 1-D data mesh remains the default (and the perf operating point:
+the largest model is ~21M params and fits per-chip, so TP buys memory
+headroom, not speed — the split chain trades one activation psum per step).
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+import math
+import re
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -24,8 +31,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     num_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
+    mesh_shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D (or reshaped N-D) mesh over the first num_devices devices."""
+    """Mesh over the first num_devices devices.
+
+    1-D by default; for an N-D mesh give matching ``axis_names`` and
+    ``mesh_shape`` (e.g. ``("data", "model")``, ``(4, 2)``).
+    """
     devices = jax.devices()
     if jax.process_count() > 1 and num_devices not in (None, len(devices)):
         # On a pod, a mesh that covers only some processes' devices breaks
@@ -40,12 +52,26 @@ def make_mesh(
     n = num_devices or len(devices)
     devices = np.asarray(devices[:n])
     if len(axis_names) > 1:
-        # Equal split across leading axes; last axis absorbs the remainder.
-        raise NotImplementedError(
-            "only 1-D data meshes are used for reference parity; "
-            "extend here for tp/pp axes"
-        )
+        if mesh_shape is None or len(mesh_shape) != len(axis_names):
+            raise ValueError(
+                f"an N-D mesh needs mesh_shape with one entry per axis name; "
+                f"got axis_names={tuple(axis_names)} mesh_shape={mesh_shape}"
+            )
+        if math.prod(mesh_shape) != n:
+            raise ValueError(
+                f"mesh_shape {tuple(mesh_shape)} does not cover "
+                f"{n} devices"
+            )
+        return Mesh(devices.reshape(tuple(mesh_shape)), tuple(axis_names))
     return Mesh(devices.reshape(n), tuple(axis_names))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Size of the batch-sharding ('data') axis — the divisibility unit for
+    global batches (other axes replicate the batch)."""
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        "data", mesh.devices.size
+    )
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
@@ -88,16 +114,90 @@ def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
     return jax.device_put(batch, batch_sharding(mesh))
 
 
-def replicate_state(state: Any, mesh: Optional[Mesh]) -> Any:
-    """Replicate model/optimizer state across the mesh."""
+def _path_str(path) -> str:
+    """'/'-joined leaf path: dict keys and attribute names as-is, sequence
+    indices as digits — e.g. 'params/DenseBN_0/Dense_0/kernel' or
+    'opt_state/0/mu/DenseBN_0/Dense_0/kernel'."""
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def tree_shardings(
+    tree: Any, mesh: Mesh, rules: Sequence[Tuple[str, P]]
+) -> Any:
+    """Per-leaf NamedSharding tree from first-matching path-regex rules.
+
+    ``rules`` is a list of (regex, PartitionSpec); each leaf's '/'-joined
+    path (see _path_str) is matched with ``re.search`` against the rules in
+    order, and the first hit decides its spec — no hit means replicated.
+    Optimizer moments need no extra rules: optax's mu/nu mirror the param
+    tree, so a rule matching 'DenseBN_0/Dense_0/kernel' also matches the
+    corresponding moment leaves. Specs are validated against the leaf rank
+    and the mesh axis sizes (a sharded dim must divide evenly).
+    """
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def one(path, leaf):
+        p = _path_str(path)
+        for pat, spec in compiled:
+            if pat.search(p):
+                if len(spec) > getattr(leaf, "ndim", 0):
+                    raise ValueError(
+                        f"rule {pat.pattern!r} gives rank-{len(spec)} spec "
+                        f"{spec} to rank-{getattr(leaf, 'ndim', 0)} leaf {p}"
+                    )
+                for d, ax in enumerate(spec):
+                    if ax is None:
+                        continue
+                    size = axis_sizes.get(ax)
+                    if size is None:
+                        raise ValueError(
+                            f"rule {pat.pattern!r}: axis {ax!r} not in mesh "
+                            f"{tuple(mesh.axis_names)}"
+                        )
+                    if leaf.shape[d] % size:
+                        raise ValueError(
+                            f"leaf {p} dim {d} ({leaf.shape[d]}) not "
+                            f"divisible by mesh axis {ax!r} ({size})"
+                        )
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(one, tree)
+
+
+def shard_state(
+    state: Any,
+    mesh: Optional[Mesh],
+    rules: Optional[Sequence[Tuple[str, P]]] = None,
+) -> Any:
+    """Place train state on the mesh: replicated without rules (the DP
+    default), else per-leaf by ``tree_shardings`` (tensor parallelism)."""
     if mesh is None:
         return state
-    return jax.device_put(state, replicated_sharding(mesh))
+    if not rules:
+        return jax.device_put(state, replicated_sharding(mesh))
+    return jax.device_put(state, tree_shardings(state, mesh, rules))
+
+
+def replicate_state(state: Any, mesh: Optional[Mesh]) -> Any:
+    """Replicate model/optimizer state across the mesh."""
+    return shard_state(state, mesh, None)
 
 
 def shard_sample_count(num_samples: int, mesh: Optional[Mesh]) -> int:
-    """Round num_samples up to a device multiple for sharded sampling."""
+    """Round num_samples up to a data-axis multiple for sharded sampling."""
     if mesh is None:
         return num_samples
-    n = mesh.devices.size
+    n = data_axis_size(mesh)
     return ((num_samples + n - 1) // n) * n

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shapegen_tpu.parallel.mesh import replicate_state, shard_batch
+from shapegen_tpu.parallel.mesh import shard_batch, shard_state
 from shapegen_tpu.train.checkpoints import (
     TopKCheckpointer,
     load_checkpoint,
@@ -67,11 +67,16 @@ class Trainer:
         logger=None,
         epoch_end_hooks: Optional[List[Callable]] = None,
         val_batch_hooks: Optional[List[Callable]] = None,
+        sharding_rules: Optional[List] = None,
     ):
         self.task = task
         self.config = config
         self.mesh = mesh
         self.logger = logger
+        # Optional (path-regex, PartitionSpec) parameter-sharding rules for
+        # N-D meshes (tensor parallelism); None = replicated state, the
+        # data-parallel default (parallel.mesh.shard_state).
+        self.sharding_rules = sharding_rules
         self.epoch_end_hooks = epoch_end_hooks or []
         # Called per validation batch as hook(trainer, state, epoch,
         # batch_idx, num_val_batches, batch) — the Lightning validation_step
@@ -170,7 +175,11 @@ class Trainer:
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         if self.mesh is None:
             return shard_batch(batch, None)
-        n = self.mesh.devices.size
+        # Batches shard over the 'data' axis only; model/other axes
+        # replicate them, so divisibility is by the data-axis size.
+        from shapegen_tpu.parallel.mesh import data_axis_size
+
+        n = data_axis_size(self.mesh)
         local_rows = jax.tree_util.tree_leaves(batch)[0].shape[0]
 
         if jax.process_count() > 1:
@@ -239,7 +248,7 @@ class Trainer:
                 state = set_learning_rate(state, scheduler.lr)
             self._log(f"Resumed from {resume_from} at epoch {start_epoch}")
 
-        state = replicate_state(state, self.mesh)
+        state = shard_state(state, self.mesh, self.sharding_rules)
 
         # Continue the per-step RNG stream across resumes (fold_in by global
         # step) instead of replaying the first run's noise sequence.
@@ -267,6 +276,13 @@ class Trainer:
             val_metrics = defaultdict(list)
             if (epoch + 1) % cfg.val_every_epochs == 0:
                 num_val_batches = len(val_loader)
+                # The state is constant across the whole validation loop, so
+                # the (pod-only) host-local copy is made ONCE per epoch here
+                # — not per batch, where it would read ~3-4x model size off
+                # the devices for every batch the hooks then skip.
+                hook_state = None
+                if self.val_batch_hooks:
+                    hook_state, _ = self._hook_view(state)
                 for i, batch in enumerate(val_loader):
                     host_batch = batch
                     batch = self._device_batch(batch)
@@ -274,12 +290,16 @@ class Trainer:
                     metrics = self._eval_step(state, batch, v_rng, epoch_dev)
                     for k, v in metrics.items():
                         val_metrics[k].append(v)
-                    if self.val_batch_hooks:
-                        h_state, h_batch = self._hook_view(state, batch, host_batch)
-                        if h_state is not None:
-                            for hook in self.val_batch_hooks:
-                                hook(self, h_state, epoch, i, num_val_batches,
-                                     h_batch)
+                    if hook_state is not None:
+                        # Batch view mirrors _hook_view: the device batch is
+                        # fully addressable single-process; on a pod, hooks
+                        # get the host-local loader batch.
+                        h_batch = (
+                            batch if jax.process_count() == 1 else host_batch
+                        )
+                        for hook in self.val_batch_hooks:
+                            hook(self, hook_state, epoch, i, num_val_batches,
+                                 h_batch)
 
             # ---- reduce + log (single host sync per epoch)
             epoch_metrics = {

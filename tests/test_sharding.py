@@ -312,3 +312,184 @@ def test_initialize_distributed_env_gated(monkeypatch):
         {"coordinator_address": "10.0.0.1:1234", "num_processes": 2,
          "process_id": 1}
     ]
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh / tensor parallelism (extension: parallel.mesh.tree_shardings +
+# models/point_unet.py POINT_UNET_LARGE_TP_RULES)
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from shapegen_tpu.parallel import make_mesh
+
+    return make_mesh(8, axis_names=("data", "model"), mesh_shape=(4, 2))
+
+
+def test_make_mesh_2d_shape_and_errors(mesh2d):
+    from shapegen_tpu.parallel import data_axis_size, make_mesh
+
+    assert mesh2d.axis_names == ("data", "model")
+    assert mesh2d.devices.shape == (4, 2)
+    assert data_axis_size(mesh2d) == 4
+    with pytest.raises(ValueError, match="mesh_shape"):
+        make_mesh(8, axis_names=("data", "model"))
+    with pytest.raises(ValueError, match="does not cover"):
+        make_mesh(8, axis_names=("data", "model"), mesh_shape=(4, 4))
+
+
+def test_tp_rules_target_only_the_global_chain(mesh2d):
+    """The flagship TP rules shard exactly the top-level global-feature pair
+    (column DenseBN_0, row DenseBN_1) — and the optimizer moments mirror the
+    params — while the PointNetLayer submodules that also contain a
+    DenseBN_0/DenseBN_1 stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from shapegen_tpu.models.point_unet import POINT_UNET_LARGE_TP_RULES
+    from shapegen_tpu.parallel import tree_shardings
+
+    model = models.PointUNetLarge(dim=32, time_dim=32)
+    task = tasks.PointDiffusionTask(model, num_points=16, lr=1e-3)
+    batch = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 3))
+    state = task.init_state(jax.random.PRNGKey(1), batch)
+    sh = tree_shardings(state, mesh2d, POINT_UNET_LARGE_TP_RULES)
+
+    def spec(tree, *path):
+        node = tree
+        for k in path:
+            node = node[k]
+        return node.spec
+
+    assert spec(sh.params, "DenseBN_0", "Dense_0", "kernel") == P(None, "model")
+    assert spec(sh.params, "DenseBN_0", "Dense_0", "bias") == P("model")
+    assert spec(sh.params, "DenseBN_0", "BatchNorm_0", "scale") == P("model")
+    assert spec(sh.batch_stats, "DenseBN_0", "BatchNorm_0", "mean") == P("model")
+    assert spec(sh.params, "DenseBN_1", "Dense_0", "kernel") == P("model", None)
+    # Row-parallel output side replicated.
+    assert spec(sh.params, "DenseBN_1", "Dense_0", "bias") == P()
+    # PointNetLayer-internal DenseBN_0 untouched.
+    assert spec(
+        sh.params, "PointNetLayer_0", "DenseBN_0", "Dense_0", "kernel"
+    ) == P()
+    # Adam moments mirror the params' specs (same path tails): find the
+    # moment leaves by path rather than assuming the optax wrapper nesting.
+    from shapegen_tpu.parallel.mesh import _path_str
+
+    by_path = {
+        _path_str(p): s
+        for p, s in jax.tree_util.tree_flatten_with_path(sh)[0]
+    }
+    mu_paths = [
+        p for p in by_path
+        if "mu/DenseBN_0/Dense_0/kernel" in p and "PointNetLayer" not in p
+    ]
+    assert mu_paths, sorted(by_path)[:5]
+    assert all(by_path[p].spec == P(None, "model") for p in mu_paths)
+    pn_mu = [
+        p for p in by_path
+        if "mu/PointNetLayer_0/DenseBN_0/Dense_0/kernel" in p
+    ]
+    assert pn_mu and all(by_path[p].spec == P() for p in pn_mu)
+
+
+def test_tree_shardings_validates_rules(mesh2d):
+    from jax.sharding import PartitionSpec as P
+
+    from shapegen_tpu.parallel import tree_shardings
+
+    tree = {"a": {"kernel": np.zeros((4, 6), np.float32)}}
+    with pytest.raises(ValueError, match="not in mesh"):
+        tree_shardings(tree, mesh2d, [(r"kernel$", P("pipeline"))])
+    with pytest.raises(ValueError, match="not divisible"):
+        # 6 % 4 != 0 over the 4-way data axis.
+        tree_shardings(tree, mesh2d, [(r"kernel$", P(None, "data"))])
+    with pytest.raises(ValueError, match="rank"):
+        tree_shardings(tree, mesh2d, [(r"kernel$", P(None, None, "model"))])
+
+
+def test_tp_train_step_matches_single_device(mesh2d):
+    """One PointUNetLarge train step on the (data=4, model=2) mesh with the
+    flagship TP rules computes the same loss, batch stats, and update as the
+    unsharded single-device step."""
+    from shapegen_tpu.models.point_unet import POINT_UNET_LARGE_TP_RULES
+    from shapegen_tpu.parallel import shard_state
+
+    model = models.PointUNetLarge(dim=32, time_dim=32)
+    task = tasks.PointDiffusionTask(model, num_points=16, lr=1e-3)
+    batch = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 3))
+    rng = jax.random.PRNGKey(2)
+
+    state1 = task.init_state(jax.random.PRNGKey(1), batch)
+    s1, m1 = jax.jit(task.train_step)(state1, batch, rng, jnp.int32(0))
+
+    state2 = shard_state(
+        task.init_state(jax.random.PRNGKey(1), batch),
+        mesh2d, POINT_UNET_LARGE_TP_RULES,
+    )
+    # The column-parallel kernel is REALLY distributed over the model axis.
+    kern = state2.params["DenseBN_0"]["Dense_0"]["kernel"]
+    shard_shapes = {s.data.shape for s in kern.addressable_shards}
+    assert shard_shapes == {(1024, 1024)}  # (1024, 2048) split 2-way on dim 1
+    s2, m2 = jax.jit(task.train_step)(
+        state2, shard_batch(batch, mesh2d), rng, jnp.int32(0)
+    )
+
+    # Row-parallel DenseBN_1 sums its 4096-wide activation via psum of
+    # per-shard partials — a deeper reduction-order change than DP's, so
+    # the tolerance is a touch looser than test_dp_matches_single_device.
+    np.testing.assert_allclose(
+        float(m1["train_loss"]), float(m2["train_loss"]), rtol=5e-5
+    )
+    # Batch stats are linear in activations (no Adam sign-amplification);
+    # the psum'd 4096-activation carries ~1e-5-absolute f32 noise into them.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.batch_stats)),
+        jax.tree_util.tree_leaves(jax.device_get(s2.batch_stats)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-5)
+    # Adam divides by sqrt(v): reduction-order noise flips near-zero-grad
+    # updates by up to lr, same bound as test_dp_matches_single_device.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s2.params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=3e-3)
+
+
+def test_tp_trainer_shards_state(mesh2d, tmp_path):
+    """Trainer(sharding_rules=...) places the fitted state by the rules —
+    the integration point scripts use (2-epoch mini-fit, loss finite)."""
+    import subprocess
+    import sys
+    from os.path import dirname, join
+
+    from shapegen_tpu.data import PointCloudDataDirectoryModule
+    from shapegen_tpu.models.point_unet import POINT_UNET_LARGE_TP_RULES
+    from shapegen_tpu.train import Trainer, TrainerConfig
+
+    repo = dirname(dirname(__file__))
+    data_dir = tmp_path / "data"
+    subprocess.run(
+        [sys.executable, join(repo, "scripts", "make_synthetic_data.py"),
+         str(data_dir), "--per-category", "4"],
+        check=True, cwd=repo,
+    )
+    dm = PointCloudDataDirectoryModule(
+        str(data_dir), num_points=16, batch_size=8, num_workers=1,
+        output_mode="point_clouds", augmentations=False,
+        relevant_object_categories=["all"],
+    )
+    model = models.PointUNetLarge(dim=32, time_dim=32)
+    task = tasks.PointDiffusionTask(model, num_points=16, lr=1e-3)
+    cfg = TrainerConfig(
+        max_epochs=2, ckpt_dir=str(tmp_path / "ck"), ckpt_prefix="tp",
+        tb_dir=None, save_top_k=0,
+    )
+    trainer = Trainer(
+        task, cfg, mesh=mesh2d, sharding_rules=POINT_UNET_LARGE_TP_RULES
+    )
+    state = trainer.fit(dm)
+    assert np.isfinite(trainer.history[-1]["train_loss"])
+    kern = state.params["DenseBN_0"]["Dense_0"]["kernel"]
+    shard_shapes = {s.data.shape for s in kern.addressable_shards}
+    assert shard_shapes == {(1024, 1024)}
