@@ -62,6 +62,12 @@ def parse_args():
                         "guidance (extension over the reference)")
     p.add_argument("--num-devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel axis size: a 2-D (data, model) "
+                        "mesh shards the denoiser's global-feature chain "
+                        "over this many devices (POINT_UNET_LARGE_TP_RULES;"
+                        " memory headroom, not speed — DP is the perf "
+                        "default, docs/ARCHITECTURE.md)")
     p.add_argument("--viz-samples", type=int, default=4,
                    help="epoch-end generated-sample figures (0 disables)")
     p.add_argument("--viz-steps", type=int, default=1000)
@@ -141,7 +147,23 @@ def main():
     # one training run through the data-sharded step (otherwise every
     # process would silently train its own model on a disjoint shard).
     use_mesh = (args.num_devices or 1) > 1 or jax.process_count() > 1
-    mesh = make_mesh(args.num_devices) if use_mesh else None
+    sharding_rules = None
+    if args.model_parallel > 1:
+        from shapegen_tpu.models.point_unet import POINT_UNET_LARGE_TP_RULES
+
+        n = args.num_devices or jax.device_count()
+        if n % args.model_parallel:
+            raise SystemExit(
+                f"--model-parallel {args.model_parallel} must divide the "
+                f"mesh size {n}"
+            )
+        mesh = make_mesh(
+            n, axis_names=("data", "model"),
+            mesh_shape=(n // args.model_parallel, args.model_parallel),
+        )
+        sharding_rules = POINT_UNET_LARGE_TP_RULES
+    else:
+        mesh = make_mesh(args.num_devices) if use_mesh else None
 
     def on_epoch_end(trainer, state, epoch):
         # Epoch-end sample figures (diffusion.py:339-358 parity).
@@ -217,6 +239,7 @@ def main():
         task, cfg, mesh=mesh, logger=logger,
         epoch_end_hooks=[on_epoch_end],
         val_batch_hooks=[on_val_batch_reconstruction],
+        sharding_rules=sharding_rules,
     )
 
     logger.info("Starting Diffusion Training")
