@@ -190,20 +190,24 @@ class PointDiffusionTask:
         )
 
     def sample_sharded(
-        self, state, key, num_samples, mesh, num_points=None, num_steps=1000
+        self, state, key, num_samples, mesh, num_points=None, num_steps=1000,
+        sharding_rules=None,
     ):
         """Sampler fan-out over a mesh: num_samples shards across chips, the
         whole 1000-step scan stays HBM-resident per chip, one gather at the
         end (the BASELINE.json north-star scaling axis; reference is
-        single-device)."""
+        single-device). With ``sharding_rules`` (tensor parallelism on an
+        N-D mesh) the closed-over weights keep their 'model'-axis sharding
+        instead of being gathered to every chip."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from shapegen_tpu.parallel.mesh import replicate_state, shard_sample_count
+        from shapegen_tpu.parallel.mesh import shard_sample_count, shard_state
 
         # Pin the parameter placement inside the API: callers may hand us
         # state living on a single device; the closed-over weights must be
-        # mesh-replicated or XLA materializes cross-chip transfers per step.
-        state = replicate_state(state, mesh)
+        # mesh-placed (replicated, or rules-sharded for TP) or XLA
+        # materializes cross-chip transfers per step.
+        state = shard_state(state, mesh, sharding_rules)
         n = shard_sample_count(num_samples, mesh)
         fn = jax.jit(
             lambda k: self.sample(state, k, n, num_points, num_steps),
