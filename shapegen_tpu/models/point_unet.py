@@ -51,15 +51,18 @@ Dtype = Any
 #   * DenseBN_1 (2048 -> 4096) row-parallel: the kernel's contracting dim
 #     matches the sharded activation, XLA inserts ONE psum over the (B, N,
 #     4096) partial sums, after which bias/BN/max-pool run replicated.
-# The fixed-width negative lookbehind keeps the rules off the PointNetLayer
-# submodules that also contain a DenseBN_0/DenseBN_1.
+# The rules must hit only the TOP-LEVEL DenseBN_0/DenseBN_1 (PointNetLayer
+# submodules contain same-named children), so they anchor on the tree
+# containers a top-level module sits directly under: params / batch_stats /
+# the optax moment trees mu & nu.
+_TP_ROOT = r"(?:^|/)(?:params|batch_stats|mu|nu)/"
 POINT_UNET_LARGE_TP_RULES = [
-    (r"(?<!PointNetLayer_\d/)DenseBN_0/Dense_0/kernel$",
+    (_TP_ROOT + r"DenseBN_0/Dense_0/kernel$",
      jax.sharding.PartitionSpec(None, "model")),
-    (r"(?<!PointNetLayer_\d/)DenseBN_0/(Dense_0/bias|BatchNorm_0/"
+    (_TP_ROOT + r"DenseBN_0/(Dense_0/bias|BatchNorm_0/"
      r"(bias|scale|mean|var))$",
      jax.sharding.PartitionSpec("model")),
-    (r"(?<!PointNetLayer_\d/)DenseBN_1/Dense_0/kernel$",
+    (_TP_ROOT + r"DenseBN_1/Dense_0/kernel$",
      jax.sharding.PartitionSpec("model", None)),
 ]
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -18,7 +19,13 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libshapegen_native.so")
 _lib: Optional[ctypes.CDLL] = None
+_has_lsa = False
 _tried = False
+# _load can race: _hungarian_pairs_host fans emd_pair out over a thread
+# pool, and a fresh checkout builds the .so on first use — without the lock
+# two threads could run concurrent `make`s writing the same file while a
+# third CDLLs the partially-linked result.
+_load_lock = threading.Lock()
 
 
 def _make(force: bool = False) -> bool:
@@ -33,10 +40,24 @@ def _make(force: bool = False) -> bool:
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
+    global _lib, _has_lsa, _tried
     if _lib is not None or _tried:
         return _lib
-    _tried = True
+    with _load_lock:
+        if _lib is not None or _tried:
+            return _lib
+        lib = _load_locked()
+        _has_lsa = lib is not None and hasattr(lib, "lsa_f32")
+        if lib is not None:
+            _set_signatures(lib)
+        # Publish only after signatures are set; _tried last so concurrent
+        # lock-free fast-path readers never see a half-initialized handle.
+        _lib = lib
+        _tried = True
+        return _lib
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH) and not _make():
         return None
     try:
@@ -44,16 +65,27 @@ def _load() -> Optional[ctypes.CDLL]:
     except OSError:
         return None
     if not hasattr(lib, "lsa_f32"):
-        # Stale .so predating the assignment solver: rebuild and reload.
-        if not _make(force=True):
-            return None
+        # Stale prebuilt .so predating the assignment solver. Unlink BEFORE
+        # rebuilding — the open mapping keeps its inode alive, and `make`
+        # then links a NEW inode (rewriting a currently-mapped ELF in place
+        # is undefined behavior). If the rebuild fails (no toolchain) or
+        # still lacks the symbol, keep serving the legacy kernels from the
+        # stale handle rather than losing them too.
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            os.remove(_LIB_PATH)
         except OSError:
-            return None
-        if not hasattr(lib, "lsa_f32"):
-            return None
+            pass
+        if _make(force=True):
+            try:
+                new_lib = ctypes.CDLL(_LIB_PATH)
+                if hasattr(new_lib, "lsa_f32"):
+                    return new_lib
+            except OSError:
+                pass
+    return lib
 
+
+def _set_signatures(lib: ctypes.CDLL) -> None:
     lib.fps_f32.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
@@ -71,19 +103,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.points_to_voxels_f32.restype = None
-    lib.lsa_f32.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.lsa_f32.restype = ctypes.c_int
-    lib.emd_pair_f32.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.emd_pair_f32.restype = ctypes.c_double
-    _lib = lib
-    return _lib
+    if hasattr(lib, "lsa_f32"):
+        lib.lsa_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.lsa_f32.restype = ctypes.c_int
+        lib.emd_pair_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.emd_pair_f32.restype = ctypes.c_double
 
 
 def available() -> bool:
@@ -149,9 +180,14 @@ def lsa(cost: np.ndarray) -> Optional[np.ndarray]:
     transpose and inverting the assignment.
     """
     lib = _load()
-    if lib is None:
+    if lib is None or not _has_lsa:
         return None
     cost = np.ascontiguousarray(cost, np.float32)
+    if not np.isfinite(cost).all():
+        # scipy raises here; the native Dijkstra would silently route
+        # around NaN entries (NaN comparisons are all-false) and return a
+        # finite-but-wrong total. Match scipy's loud failure.
+        raise ValueError("matrix contains invalid numeric entries")
     n, m = cost.shape
     if n > m:
         row4col = lsa(np.ascontiguousarray(cost.T))
@@ -175,10 +211,14 @@ def emd_pair(x: np.ndarray, y: np.ndarray) -> Optional[float]:
     sum(assigned dists) / max(n, m), or None if native is unavailable.
     """
     lib = _load()
-    if lib is None:
+    if lib is None or not _has_lsa:
         return None
     x = np.ascontiguousarray(x, np.float32)
     y = np.ascontiguousarray(y, np.float32)
+    if not (np.isfinite(x).all() and np.isfinite(y).all()):
+        # Match the scipy path's behavior on corrupt clouds (its cost
+        # matrix check raises); silence here would average a wrong metric.
+        raise ValueError("matrix contains invalid numeric entries")
     if x.shape[0] > y.shape[0]:
         x, y = y, x  # assignment total is symmetric; solver needs n <= m
     n, m = x.shape[0], y.shape[0]

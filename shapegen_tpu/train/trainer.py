@@ -141,6 +141,15 @@ class Trainer:
         """
         if jax.process_count() == 1:
             return state, batch
+        if self.sharding_rules:
+            # Tensor parallelism breaks the "every local shard IS the full
+            # value" premise below: 'model'-axis-sharded leaves hold only a
+            # slice per device. Re-replicate first — a collective, so ALL
+            # processes execute it (this runs before the process-0 gate);
+            # only process 0 then reads its now-full local shards.
+            from shapegen_tpu.parallel.mesh import shard_state
+
+            state = shard_state(state, self.mesh, None)
         if jax.process_index() != 0:
             return None, None
 

@@ -128,3 +128,20 @@ def test_hungarian_metrics_native_vs_scipy_paths(rng, monkeypatch):
     monkeypatch.setattr(native, "emd_pair", lambda *a, **k: None)
     via_scipy = M.earth_mover_distance_hungarian(x, y)
     assert via_native == pytest.approx(via_scipy, rel=1e-5)
+
+
+def test_lsa_and_emd_pair_reject_nonfinite(rng):
+    """scipy raises on NaN/inf cost entries; the native path must fail just
+    as loudly (its Dijkstra would otherwise route around NaNs and return a
+    finite-but-wrong total that gets averaged into eval metrics)."""
+    if not native.available():
+        pytest.skip("no native lib")
+    c = rng.random((8, 8)).astype(np.float32)
+    c[3, 4] = np.nan
+    with pytest.raises(ValueError, match="invalid numeric"):
+        native.lsa(c)
+    x = rng.standard_normal((16, 3)).astype(np.float32)
+    y = rng.standard_normal((16, 3)).astype(np.float32)
+    x[0, 0] = np.inf
+    with pytest.raises(ValueError, match="invalid numeric"):
+        native.emd_pair(x, y)
