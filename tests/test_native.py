@@ -145,3 +145,45 @@ def test_lsa_and_emd_pair_reject_nonfinite(rng):
     x[0, 0] = np.inf
     with pytest.raises(ValueError, match="invalid numeric"):
         native.emd_pair(x, y)
+
+
+def test_native_load_is_thread_safe(rng, monkeypatch):
+    """First-use build under concurrency: _hungarian_pairs_host fans
+    emd_pair over a thread pool, so on a fresh checkout many threads race
+    into _load simultaneously. The lock must serialize the build — every
+    thread gets the same working solver, none crashes or silently falls
+    back."""
+    import os
+    import threading
+
+    from shapegen_tpu import native as nat
+
+    if not nat.available():
+        pytest.skip("no native lib/toolchain")
+    # Reset loader state and remove the built library so every thread
+    # races through the first-build path (monkeypatch restores the module
+    # globals afterwards; the library itself is rebuilt by the threads).
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_tried", False)
+    monkeypatch.setattr(nat, "_has_lsa", False)
+    if os.path.exists(nat._LIB_PATH):
+        os.remove(nat._LIB_PATH)
+
+    x = rng.standard_normal((64, 3)).astype(np.float32)
+    y = rng.standard_normal((64, 3)).astype(np.float32)
+    results, errors = [], []
+
+    def worker():
+        try:
+            results.append(nat.emd_pair(x, y))
+        except Exception as e:  # noqa: BLE001 — the test asserts none
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert all(r is not None for r in results)
+    assert len({round(r, 7) for r in results}) == 1
