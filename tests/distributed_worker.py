@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--resume-from", default=None,
                     help="checkpoint path for the phase-B fit (pod resume: "
                     "every process restores process-0's last.ckpt)")
+    ap.add_argument("--tp-phase", action="store_true",
+                    help="also run phase D (tensor parallelism on a 2-D "
+                    "global mesh; costs a flagship-model step + mini-fit)")
     args = ap.parse_args()
 
     # Platform setup must precede the first jax import (conftest.py pattern).
@@ -142,6 +145,111 @@ def main():
     tail_loss = float(metrics_c["train_loss"])
     tail_params = flat_params(state_c.params)
 
+    # ---- Phase D: tensor parallelism on the pod (2-D global mesh) --------
+    # One exact train step of the flagship denoiser on a (data, model) mesh
+    # with the TP rules: params/BN-stats/moments really distributed over the
+    # 'model' axis ACROSS the process boundary, plus a 1-epoch Trainer.fit
+    # with sharding_rules and the pod-safe figure hooks (the hook state must
+    # arrive re-replicated — full-width leaves — on process 0 only).
+    tp_extra = {}
+    if args.tp_phase:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from shapegen_tpu.models.point_unet import POINT_UNET_LARGE_TP_RULES
+        from shapegen_tpu.parallel import shard_state
+
+        mesh_tp = make_mesh(
+            axis_names=("data", "model"),
+            mesh_shape=(jax.device_count() // 2, 2),
+        )
+        task_tp = tasks.PointDiffusionTask(
+            models.PointUNetLarge(dim=32, time_dim=32),
+            num_points=NUM_POINTS, lr=1e-3,
+        )
+        canon_tp = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(11), (8, NUM_POINTS, 3)),
+            np.float32,
+        )
+        state_tp = task_tp.init_state(
+            jax.random.PRNGKey(3), jnp.asarray(canon_tp[:2])
+        )
+        state_tp = shard_state(state_tp, mesh_tp, POINT_UNET_LARGE_TP_RULES)
+        # The column-parallel kernel is REALLY distributed: each device
+        # holds half the 2048 output columns.
+        kern = state_tp.params["DenseBN_0"]["Dense_0"]["kernel"]
+        assert kern.addressable_shards[0].data.shape == (1024, 1024), (
+            kern.addressable_shards[0].data.shape
+        )
+        per_tp = 8 // args.num_processes
+        local_tp = canon_tp[
+            args.process_id * per_tp:(args.process_id + 1) * per_tp
+        ]
+        batch_tp = shard_batch(jnp.asarray(local_tp), mesh_tp)
+        state_tp, m_tp = jax.jit(task_tp.train_step, donate_argnums=(0,))(
+            state_tp, batch_tp,
+            jax.random.fold_in(jax.random.PRNGKey(12), 0),
+            jnp.asarray(0, jnp.int32),
+        )
+        tp_loss = float(m_tp["train_loss"])
+        # Model-sharded leaves are not fully addressable on a pod; gather
+        # to replicated inside jit (an SPMD collective every process
+        # executes) before the host fetch.
+        gather = jax.jit(
+            lambda t: t, out_shardings=NamedSharding(mesh_tp, P())
+        )
+        tp_params = flat_params(gather(state_tp.params))
+
+        # TP mini-fit with the pod-safe figure hooks.
+        tp_hook = {"val": 0, "epoch": 0, "kernel_shape": (0, 0)}
+
+        def tp_val_hook(tr, h_state, epoch, batch_idx, num_val_batches,
+                        batch):
+            k = np.asarray(jax.device_get(
+                h_state.params["DenseBN_0"]["Dense_0"]["kernel"]
+            ))
+            tp_hook["kernel_shape"] = tuple(k.shape)
+            assert np.isfinite(k).all()
+            tp_hook["val"] += 1
+
+        def tp_epoch_hook(tr, h_state, epoch):
+            tp_hook["epoch"] += 1
+
+        dm_tp = PointCloudDataDirectoryModule(
+            args.data_dir, num_points=NUM_POINTS,
+            batch_size=args.local_batch, num_workers=1,
+            output_mode="point_clouds", augmentations=False,
+            relevant_object_categories=["all"],
+        )
+        task_tp2 = tasks.PointDiffusionTask(
+            models.PointUNetLarge(dim=32, time_dim=32),
+            num_points=NUM_POINTS, lr=1e-3,
+        )
+        trainer_tp = Trainer(
+            task_tp2,
+            TrainerConfig(
+                max_epochs=1,
+                ckpt_dir=os.path.join(args.workdir, f"cktp{args.process_id}"),
+                ckpt_prefix="tp", tb_dir=None, save_top_k=0,
+            ),
+            mesh=mesh_tp, sharding_rules=POINT_UNET_LARGE_TP_RULES,
+            epoch_end_hooks=[tp_epoch_hook], val_batch_hooks=[tp_val_hook],
+        )
+        tp_fit_state = trainer_tp.fit(dm_tp)
+        if args.num_processes > 1 and args.process_id != 0:
+            assert tp_hook == {
+                "val": 0, "epoch": 0, "kernel_shape": (0, 0)
+            }, tp_hook
+        else:
+            assert tp_hook["val"] >= 1 and tp_hook["epoch"] >= 1, tp_hook
+            # The hook state arrived FULL-width (re-replicated on pods).
+            assert tp_hook["kernel_shape"] == (1024, 2048), tp_hook
+        tp_extra = {
+            "tp_loss": np.asarray(tp_loss),
+            "tp_params": tp_params,
+            "tp_fit_params": flat_params(gather(tp_fit_state.params)),
+            "tp_history": json.dumps(trainer_tp.history),
+        }
+
     # ---- Phase B: real Trainer.fit over per-host dataset shards ----------
     dm = PointCloudDataDirectoryModule(
         args.data_dir, num_points=NUM_POINTS, batch_size=args.local_batch,
@@ -206,6 +314,7 @@ def main():
         val_shard=np.asarray(dm.val_indices),
         process_count=args.num_processes,
         device_count=jax.device_count(),
+        **tp_extra,
     )
     print(
         f"[worker {args.process_id}/{args.num_processes}] OK "

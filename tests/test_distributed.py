@@ -51,7 +51,7 @@ def _clean_env():
 
 
 def _run_workers(num_processes, data_dir, workdir, global_batch=8, epochs=2,
-                 resume_from=None):
+                 resume_from=None, tp_phase=False):
     port = _free_port()
     procs, outs = [], []
     for pid in range(num_processes):
@@ -71,6 +71,8 @@ def _run_workers(num_processes, data_dir, workdir, global_batch=8, epochs=2,
         ]
         if resume_from:
             cmd += ["--resume-from", resume_from]
+        if tp_phase:
+            cmd += ["--tp-phase"]
         procs.append(
             subprocess.Popen(
                 cmd, cwd=REPO, env=_clean_env(),
@@ -99,8 +101,8 @@ def data_dir(tmp_path_factory):
 def test_two_process_pod_executes_and_matches_single_process(
     data_dir, tmp_path
 ):
-    single, _ = _run_workers(1, data_dir, str(tmp_path))
-    pods, logs = _run_workers(2, data_dir, str(tmp_path))
+    single, _ = _run_workers(1, data_dir, str(tmp_path), tp_phase=True)
+    pods, logs = _run_workers(2, data_dir, str(tmp_path), tp_phase=True)
     s, p0, p1 = single[0], pods[0], pods[1]
 
     assert int(s["device_count"]) == 8 and int(p0["device_count"]) == 8
@@ -162,6 +164,24 @@ def test_two_process_pod_executes_and_matches_single_process(
     assert tr0.isdisjoint(tr1)
     assert len(p0["train_shard"]) == len(p1["train_shard"])
     assert (tr0 | tr1) <= set(s["train_shard"].tolist())
+
+    # --- Phase D: tensor parallelism across the process boundary. The
+    # (data, model) mesh spans both processes, so the 'model'-sharded params
+    # live half-per-... distributed over Gloo; one exact step from the same
+    # canonical batch must match the single-process 2-D-mesh run within the
+    # same Adam-amplified reassociation bounds as phase A, and both
+    # processes must hold identical gathered params (SPMD identity).
+    np.testing.assert_allclose(p0["tp_loss"], s["tp_loss"], rtol=5e-4)
+    np.testing.assert_array_equal(p0["tp_params"], p1["tp_params"])
+    diff_tp = np.abs(p0["tp_params"] - s["tp_params"])
+    assert diff_tp.max() <= 2.05 * LR, f"TP step-1 param diff {diff_tp.max()}"
+    assert np.mean(diff_tp > 1e-5) < 0.05, (
+        f"{np.mean(diff_tp > 1e-5):.1%} of TP params moved differently"
+    )
+    # TP mini-fit: SPMD identity across processes + finite descent.
+    np.testing.assert_array_equal(p0["tp_fit_params"], p1["tp_fit_params"])
+    hist_tp = json.loads(str(p0["tp_history"]))
+    assert all(np.isfinite(e["train_loss"]) for e in hist_tp)
 
     # --- End-to-end fit sanity + loose parity with the single-process run
     # (exact fit parity is impossible: each host shuffles its own shard, so
