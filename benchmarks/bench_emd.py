@@ -41,8 +41,10 @@ def main():
 
     rng = np.random.default_rng(24)
     n = args.num_points
-    # The eval benchmark's cloud shapes: unit-normal vs 0.9-scaled normal,
-    # cube-normalized (harder for the solver than iid-normal pairs).
+    # The eval benchmark's cloud shapes: two independent unit-normal draws,
+    # each cube-normalized (harder for the solver than raw iid-normal
+    # pairs; any pre-scale of a draw would be erased by cube()'s max-abs
+    # normalization, so none is applied).
     def cube(p):
         c = (p.max(0) + p.min(0)) / 2.0
         p = p - c
@@ -50,7 +52,7 @@ def main():
 
     pairs = [
         (cube(rng.standard_normal((n, 3)).astype(np.float32)),
-         cube((rng.standard_normal((n, 3)) * 0.9).astype(np.float32)))
+         cube(rng.standard_normal((n, 3)).astype(np.float32)))
         for _ in range(args.pairs)
     ]
 

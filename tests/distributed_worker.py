@@ -7,12 +7,26 @@ DCN (initialize -> per-host dataset shards -> global batch assembly via
 ``make_array_from_process_local_data`` -> data-sharded jitted steps with
 cross-process collectives).
 
-Two phases, results written to ``--out`` (npz):
+Phases (run order A, C, [D, D2 with --tp-phase], B), results in ``--out``
+(npz; the tp_* keys only exist when --tp-phase is given):
 
   A. *Exact-step parity*: every process slices its rows of one canonical
      global batch, so the assembled global batch is identical to what a
      single-process run sees; 3 train steps from an identical init must then
      produce the same losses/params regardless of process topology.
+  C. *Partial (tail) global batch*: a 6-row global batch exercises the
+     process_allgather+replicate tail path — no padding, no row
+     over-weighting (tail_loss/tail_params).
+  D. *Tensor parallelism on the pod's production layout*: flagship TP rules
+     on a C-order (data, model) mesh — 'model' pairs are process-LOCAL
+     (TP over intra-host ICI, DP across hosts over DCN, the layout the
+     Trainer's per-host data shards require) — one exact step + a 1-epoch
+     Trainer.fit with pod-safe figure hooks (tp_loss/tp_params/
+     tp_fit_params/tp_history).
+  D2. *Cross-process TP collectives*: the same exact step on a TRANSPOSED
+     mesh whose 'model' pairs straddle the two processes, batch fully
+     replicated — the activation psum over 'model' really rides Gloo
+     (tpx_loss/tpx_params).
   B. *Real Trainer.fit*: 2 epochs through PointCloudDataDirectoryModule
      (per-host equalized shards, prefetch loaders) on a full global mesh —
      the end-to-end pod training path.
@@ -146,14 +160,18 @@ def main():
     tail_params = flat_params(state_c.params)
 
     # ---- Phase D: tensor parallelism on the pod (2-D global mesh) --------
-    # One exact train step of the flagship denoiser on a (data, model) mesh
-    # with the TP rules: params/BN-stats/moments really distributed over the
-    # 'model' axis ACROSS the process boundary, plus a 1-epoch Trainer.fit
-    # with sharding_rules and the pod-safe figure hooks (the hook state must
-    # arrive re-replicated — full-width leaves — on process 0 only).
+    # One exact train step of the flagship denoiser on the production
+    # (data, model) layout: make_mesh's C-order reshape keeps each 'model'
+    # pair process-local (TP over intra-host ICI; the DATA axis is what
+    # crosses Gloo), which is also the only layout compatible with per-host
+    # dataset shards. Params/BN-stats/moments are rules-sharded over
+    # 'model'; plus a 1-epoch Trainer.fit with sharding_rules and the
+    # pod-safe figure hooks (the hook state must arrive re-replicated —
+    # full-width leaves — on process 0 only). Phase D2 below covers the
+    # cross-process 'model' collective.
     tp_extra = {}
     if args.tp_phase:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         from shapegen_tpu.models.point_unet import POINT_UNET_LARGE_TP_RULES
         from shapegen_tpu.parallel import shard_state
@@ -199,6 +217,39 @@ def main():
         )
         tp_params = flat_params(gather(state_tp.params))
 
+        # ---- Phase D2: the 'model' axis REALLY crossing the boundary ----
+        # Transposed device layout: model pairs are (i, i + n/2), i.e. one
+        # device from each process, so the TP activation/gradient psums over
+        # 'model' execute over Gloo. The batch is fully replicated (every
+        # process holds all 8 canonical rows — a per-host-shard input is
+        # impossible on this layout, which is why phase D uses the C-order
+        # mesh), so the global step is identical math to phase D and must
+        # reproduce its loss/params up to reduction-order noise.
+        devs_x = np.asarray(jax.devices()).reshape(2, -1).T
+        mesh_x = Mesh(devs_x, ("data", "model"))
+        if args.num_processes > 1:
+            for row in mesh_x.devices:
+                assert {d.process_index for d in row} == {0, 1}, row
+        state_x = task_tp.init_state(
+            jax.random.PRNGKey(3), jnp.asarray(canon_tp[:2])
+        )
+        state_x = shard_state(state_x, mesh_x, POINT_UNET_LARGE_TP_RULES)
+        kern_x = state_x.params["DenseBN_0"]["Dense_0"]["kernel"]
+        assert kern_x.addressable_shards[0].data.shape == (1024, 1024)
+        batch_x = jax.make_array_from_process_local_data(
+            NamedSharding(mesh_x, P()), canon_tp
+        )
+        state_x, m_x = jax.jit(task_tp.train_step, donate_argnums=(0,))(
+            state_x, batch_x,
+            jax.random.fold_in(jax.random.PRNGKey(12), 0),
+            jnp.asarray(0, jnp.int32),
+        )
+        tpx_loss = float(m_x["train_loss"])
+        gather_x = jax.jit(
+            lambda t: t, out_shardings=NamedSharding(mesh_x, P())
+        )
+        tpx_params = flat_params(gather_x(state_x.params))
+
         # TP mini-fit with the pod-safe figure hooks.
         tp_hook = {"val": 0, "epoch": 0, "kernel_shape": (0, 0)}
 
@@ -220,12 +271,8 @@ def main():
             output_mode="point_clouds", augmentations=False,
             relevant_object_categories=["all"],
         )
-        task_tp2 = tasks.PointDiffusionTask(
-            models.PointUNetLarge(dim=32, time_dim=32),
-            num_points=NUM_POINTS, lr=1e-3,
-        )
         trainer_tp = Trainer(
-            task_tp2,
+            task_tp,  # stateless pure-function holder — safe to reuse
             TrainerConfig(
                 max_epochs=1,
                 ckpt_dir=os.path.join(args.workdir, f"cktp{args.process_id}"),
@@ -246,6 +293,8 @@ def main():
         tp_extra = {
             "tp_loss": np.asarray(tp_loss),
             "tp_params": tp_params,
+            "tpx_loss": np.asarray(tpx_loss),
+            "tpx_params": tpx_params,
             "tp_fit_params": flat_params(gather(tp_fit_state.params)),
             "tp_history": json.dumps(trainer_tp.history),
         }

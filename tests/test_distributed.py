@@ -81,7 +81,7 @@ def _run_workers(num_processes, data_dir, workdir, global_batch=8, epochs=2,
         )
     results = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=900)
+        stdout, _ = p.communicate(timeout=1500)
         assert p.returncode == 0, f"worker failed:\n{stdout[-4000:]}"
         results.append(stdout)
     return [dict(np.load(o, allow_pickle=False)) for o in outs], results
@@ -165,9 +165,10 @@ def test_two_process_pod_executes_and_matches_single_process(
     assert len(p0["train_shard"]) == len(p1["train_shard"])
     assert (tr0 | tr1) <= set(s["train_shard"].tolist())
 
-    # --- Phase D: tensor parallelism across the process boundary. The
-    # (data, model) mesh spans both processes, so the 'model'-sharded params
-    # live half-per-... distributed over Gloo; one exact step from the same
+    # --- Phase D: tensor parallelism on the pod's production layout. The
+    # C-order (data, model) mesh keeps each 'model' pair process-local
+    # (TP over intra-host ICI, the data axis over Gloo — the layout
+    # per-host dataset shards require); one exact step from the same
     # canonical batch must match the single-process 2-D-mesh run within the
     # same Adam-amplified reassociation bounds as phase A, and both
     # processes must hold identical gathered params (SPMD identity).
@@ -178,6 +179,20 @@ def test_two_process_pod_executes_and_matches_single_process(
     assert np.mean(diff_tp > 1e-5) < 0.05, (
         f"{np.mean(diff_tp > 1e-5):.1%} of TP params moved differently"
     )
+    # --- Phase D2: the 'model' axis genuinely crossing the process
+    # boundary (transposed mesh, model pairs one-device-per-process): the
+    # TP activation/gradient psums over 'model' execute over Gloo. The
+    # global step is the same math as phase D, so its loss/params must
+    # reproduce phase D's within reduction-order/Adam-sign-flip bounds,
+    # and both processes must agree exactly (SPMD identity).
+    np.testing.assert_allclose(p0["tpx_loss"], p0["tp_loss"], rtol=5e-4)
+    np.testing.assert_array_equal(p0["tpx_params"], p1["tpx_params"])
+    diff_x = np.abs(p0["tpx_params"] - p0["tp_params"])
+    assert diff_x.max() <= 2.05 * LR, f"D2 param diff {diff_x.max()}"
+    assert np.mean(diff_x > 1e-5) < 0.05, (
+        f"{np.mean(diff_x > 1e-5):.1%} of D2 params moved differently"
+    )
+
     # TP mini-fit: SPMD identity across processes + finite descent.
     np.testing.assert_array_equal(p0["tp_fit_params"], p1["tp_fit_params"])
     hist_tp = json.loads(str(p0["tp_history"]))

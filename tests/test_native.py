@@ -154,36 +154,49 @@ def test_native_load_is_thread_safe(rng, monkeypatch):
     thread gets the same working solver, none crashes or silently falls
     back."""
     import os
+    import shutil
     import threading
 
     from shapegen_tpu import native as nat
 
     if not nat.available():
         pytest.skip("no native lib/toolchain")
-    # Reset loader state and remove the built library so every thread
+    # Reset loader state and move the built library aside so every thread
     # races through the first-build path (monkeypatch restores the module
-    # globals afterwards; the library itself is rebuilt by the threads).
+    # globals afterwards; the library file is restored in the finally if
+    # the racing rebuild failed, so a flaky build can't destroy the
+    # artifact for later tests/processes).
     monkeypatch.setattr(nat, "_lib", None)
     monkeypatch.setattr(nat, "_tried", False)
     monkeypatch.setattr(nat, "_has_lsa", False)
+    backup = None
     if os.path.exists(nat._LIB_PATH):
+        backup = nat._LIB_PATH + ".bak"
+        shutil.copy2(nat._LIB_PATH, backup)
         os.remove(nat._LIB_PATH)
 
-    x = rng.standard_normal((64, 3)).astype(np.float32)
-    y = rng.standard_normal((64, 3)).astype(np.float32)
-    results, errors = [], []
+    try:
+        x = rng.standard_normal((64, 3)).astype(np.float32)
+        y = rng.standard_normal((64, 3)).astype(np.float32)
+        results, errors = [], []
 
-    def worker():
-        try:
-            results.append(nat.emd_pair(x, y))
-        except Exception as e:  # noqa: BLE001 — the test asserts none
-            errors.append(e)
+        def worker():
+            try:
+                results.append(nat.emd_pair(x, y))
+            except Exception as e:  # noqa: BLE001 — the test asserts none
+                errors.append(e)
 
-    threads = [threading.Thread(target=worker) for _ in range(8)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    assert not errors, errors
-    assert all(r is not None for r in results)
-    assert len({round(r, 7) for r in results}) == 1
+        threads = [threading.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert all(r is not None for r in results)
+        assert len({round(r, 7) for r in results}) == 1
+    finally:
+        if backup is not None:
+            if not os.path.exists(nat._LIB_PATH):
+                shutil.move(backup, nat._LIB_PATH)
+            else:
+                os.remove(backup)
