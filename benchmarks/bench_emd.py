@@ -69,7 +69,10 @@ def main():
         return d[r, c].sum() / n
 
     paths = {"reference": ref_pair, "scipy+mm": scipy_mm_pair}
-    if native.available():
+    # available() can be true with a stale .so that lacks the assignment
+    # solver (emd_pair would return None for every pair); register the
+    # native path only when the solver symbol is actually present.
+    if native.has_lsa():
         paths["native"] = native.emd_pair
 
     results = {}

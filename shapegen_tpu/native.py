@@ -121,6 +121,16 @@ def available() -> bool:
     return _load() is not None
 
 
+def has_lsa() -> bool:
+    """True only when the loaded library exposes the assignment solver
+    (``lsa_f32``/``emd_pair_f32``). ``available()`` can be true with a stale
+    prebuilt .so that predates the solver (the loader deliberately keeps the
+    legacy handle when a rebuild fails) — callers that need ``emd_pair``/
+    ``lsa`` specifically must check this predicate, not ``available()``."""
+    _load()
+    return _has_lsa
+
+
 def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 

@@ -199,20 +199,56 @@ def atomic_save(path: str, host_state: Any, meta: Dict) -> str:
 def recover_interrupted_save(path: str) -> None:
     """Finish an ``atomic_save`` swap interrupted between its renames.
 
-    No-op when ``path`` exists. Otherwise prefers the complete NEW payload
-    (``path + ".tmp"`` with its sidecar — everything after the payload write
-    finished), falling back to the renamed-aside OLD payload.
+    When ``path`` exists, the only repairable state is an orphaned sidecar: a
+    crash between ``os.rename(tmp, path)`` and the sidecar ``os.replace``
+    leaves the NEW payload at ``path`` with its complete sidecar still at
+    ``tmp + ".json"`` (distinguishable: the tmp directory is gone) — adopt
+    it rather than silently losing the epoch/scheduler metadata. Otherwise
+    prefers the complete NEW payload (``path + ".tmp"`` with its sidecar —
+    everything after the payload write finished), falling back to the
+    renamed-aside OLD payload.
+
+    Concurrency-safe: on a pod every process may call this on a shared
+    checkpoint directory (``find_latest_checkpoint`` with a common
+    ``--auto-resume-dir``); the loser of a rename race must resume from the
+    winner's repair, not crash. Each rename tolerates OSError as long as the
+    target it was producing exists afterwards.
     """
     path = os.path.abspath(path)
-    if os.path.exists(path):
-        return
     tmp, old = path + ".tmp", path + ".old"
+    if os.path.exists(path):
+        if (not os.path.exists(path + ".json") and not os.path.isdir(tmp)
+                and os.path.exists(tmp + ".json")):
+            try:
+                os.replace(tmp + ".json", path + ".json")
+            except OSError:
+                if not os.path.exists(path + ".json"):
+                    raise  # not a concurrent-repair race — surface it
+            shutil.rmtree(old, ignore_errors=True)
+        return
     if os.path.isdir(tmp) and os.path.exists(tmp + ".json"):
-        os.rename(tmp, path)
-        os.replace(tmp + ".json", path + ".json")
+        try:
+            os.rename(tmp, path)
+            os.replace(tmp + ".json", path + ".json")
+        except OSError:
+            if not os.path.exists(path):
+                raise
+            # A concurrent caller won the payload rename; the sidecar may
+            # still be ours to finish (or already theirs — both fine).
+            if (not os.path.exists(path + ".json")
+                    and os.path.exists(tmp + ".json")):
+                try:
+                    os.replace(tmp + ".json", path + ".json")
+                except OSError:
+                    if not os.path.exists(path + ".json"):
+                        raise
         shutil.rmtree(old, ignore_errors=True)
     elif os.path.isdir(old):
-        os.rename(old, path)
+        try:
+            os.rename(old, path)
+        except OSError:
+            if not os.path.exists(path):
+                raise
 
 
 def save_last_checkpoint(

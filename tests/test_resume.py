@@ -124,6 +124,63 @@ def test_atomic_save_interrupted_swap_recovers(tmp_path):
     assert os.path.isdir(path)
 
 
+def test_recover_adopts_orphaned_sidecar(tmp_path):
+    """Crash window between ``os.rename(tmp, path)`` and the sidecar
+    ``os.replace``: the NEW payload sits at ``path`` with no sidecar while
+    its complete sidecar is still at ``tmp + ".json"`` (tmp dir gone, old
+    payload still renamed aside). Recovery must adopt the orphan sidecar
+    instead of silently losing the epoch/scheduler metadata."""
+    from shapegen_tpu.train.checkpoints import atomic_save, load_checkpoint
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    path = str(d / "last.ckpt")
+    atomic_save(path, {"w": np.full((2,), 2.0, np.float32)}, {"epoch": 7})
+    # The sidecar never made it past tmp + ".json" in this window.
+    os.rename(path + ".json", path + ".tmp.json")
+    # The old payload is still renamed aside (rmtree comes after the swap).
+    atomic_save(path + ".old.build", {"w": np.zeros(2, np.float32)}, {"epoch": 0})
+    os.rename(path + ".old.build", path + ".old")
+    os.remove(path + ".old.build.json")
+
+    assert find_latest_checkpoint(str(d)) == path
+    state, meta = load_checkpoint(path)
+    assert float(state["w"][0]) == 2.0
+    assert meta["epoch"] == 7  # metadata recovered, not lost
+    assert not os.path.exists(path + ".tmp.json")
+    assert not os.path.exists(path + ".old")
+
+
+def test_recover_tolerates_concurrent_repair(tmp_path, monkeypatch):
+    """On a pod with a shared --auto-resume-dir every process calls
+    recover_interrupted_save concurrently; the loser of the payload-rename
+    race must finish resuming from the winner's repair, not crash with
+    FileNotFoundError. Simulated deterministically: the patched os.rename
+    performs the winner's rename, then raises the loser's error."""
+    import shapegen_tpu.train.checkpoints as ck
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    path = str(d / "last.ckpt")
+    ck.atomic_save(path, {"w": np.full((2,), 2.0, np.float32)}, {"epoch": 3})
+    os.rename(path, path + ".tmp")
+    os.rename(path + ".json", path + ".tmp.json")
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        real_rename(src, dst)  # the winner's repair lands first
+        raise FileNotFoundError(src)  # ...so the loser's own rename fails
+
+    monkeypatch.setattr(ck.os, "rename", racing_rename)
+    ck.recover_interrupted_save(path)  # must not raise
+    monkeypatch.undo()
+
+    state, meta = ck.load_checkpoint(path)
+    assert float(state["w"][0]) == 2.0
+    assert meta["epoch"] == 3
+
+
 def test_topk_ledger_survives_restart(tmp_path):
     """A fresh TopKCheckpointer rehydrates its ledger from the directory, so
     a resumed run keeps Lightning's persisted-ModelCheckpoint-state semantics
