@@ -57,12 +57,50 @@ def load_dd(path: str) -> np.ndarray:
     raise ValueError(f"No dataset found in {path}")
 
 
+#: Root-group attribute deepdish stamps on every file it writes
+#: (deepdish/io/hdf5io.py ``IO_VERSION``); the reference's .dd datasets all
+#: carry it. Written by save_dd for byte-layout parity and asserted readable
+#: by tests/test_data.py's authentic-fixture interop tests.
+DEEPDISH_IO_VERSION = 12
+
+
 def save_dd(path: str, data: np.ndarray) -> None:
-    """Save an array as the 'data' node (readable back by load_dd)."""
+    """Save an array as the 'data' node, in the deepdish/pytables layout.
+
+    The reference writes its datasets with ``dd.io.save(path, {'data': x})``
+    (preprocessing.py:103-107) and reads them with ``dd.io.load(path)['data']``
+    (data.py:170-173). deepdish is a thin shim over pytables: the dict value
+    becomes a ``/data`` CArray (chunked, zlib-9 + shuffle filters, attrs
+    CLASS='CARRAY'/VERSION='1.1'/TITLE='') and the root group carries the
+    pytables format attrs plus ``DEEPDISH_IO_VERSION``. This writer emits
+    that exact structure with h5py (no pytables/deepdish dependency), so the
+    output is indistinguishable from an authentic deepdish file to both
+    toolchains: ``dd.io.load`` maps the chunked dataset to ``tables.CArray``
+    (a ``tables.Array`` subclass, returned as ``node[:]`` by deepdish's
+    ``_load_level``) and keys the dict on the node name 'data'."""
     if h5py is None:
         raise RuntimeError("h5py is required to write .dd files")
+    data = np.asarray(data)
     with h5py.File(path, "w") as f:
-        f.create_dataset("data", data=np.asarray(data))
+        # pytables root-group attrs (tables/group.py RootGroup) + deepdish's
+        # version stamp (hdf5io.py save()).
+        f.attrs.create("CLASS", np.bytes_("GROUP"))
+        f.attrs.create("PYTABLES_FORMAT_VERSION", np.bytes_("2.1"))
+        f.attrs.create("TITLE", np.bytes_(""))
+        f.attrs.create("VERSION", np.bytes_("1.0"))
+        f.attrs.create("DEEPDISH_IO_VERSION", np.int64(DEEPDISH_IO_VERSION))
+        # deepdish _save_ndarray -> create_carray with
+        # Filters(complevel=9, complib='zlib', shuffle=True): a chunked
+        # dataset with gzip+shuffle, tagged with pytables CArray attrs.
+        ds = f.create_dataset(
+            "data", data=data, chunks=True if data.ndim else None,
+            compression="gzip" if data.ndim else None,
+            compression_opts=9 if data.ndim else None,
+            shuffle=bool(data.ndim),
+        )
+        ds.attrs.create("CLASS", np.bytes_("CARRAY"))
+        ds.attrs.create("TITLE", np.bytes_(""))
+        ds.attrs.create("VERSION", np.bytes_("1.1"))
 
 
 def normalize_point_cloud_np(pc: np.ndarray) -> np.ndarray:

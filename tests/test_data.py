@@ -36,6 +36,101 @@ def test_dd_roundtrip(tmp_path):
     np.testing.assert_array_equal(load_dd(p), arr)
 
 
+def _write_authentic_deepdish_file(path, arr):
+    """Hand-build a byte-layout replica of what deepdish 0.3.5 + pytables
+    write for ``dd.io.save(path, {'data': arr})`` — the reference's dataset
+    format (preprocessing.py:103-107, data.py:170-173). Built with h5py only
+    (neither pytables nor deepdish ships in this image), replicating:
+    pytables root-group attrs, deepdish's DEEPDISH_IO_VERSION stamp, and a
+    '/data' CArray node (chunked, zlib-9 + shuffle, CLASS/VERSION/TITLE
+    attrs). Deliberately independent of save_dd so load_dd is tested against
+    the LAYOUT, not against our own writer."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.attrs.create("CLASS", np.bytes_("GROUP"))
+        f.attrs.create("PYTABLES_FORMAT_VERSION", np.bytes_("2.1"))
+        f.attrs.create("TITLE", np.bytes_(""))
+        f.attrs.create("VERSION", np.bytes_("1.0"))
+        f.attrs.create("DEEPDISH_IO_VERSION", np.int64(12))
+        ds = f.create_dataset(
+            "data", data=arr, chunks=arr.shape,
+            compression="gzip", compression_opts=9, shuffle=True,
+        )
+        ds.attrs.create("CLASS", np.bytes_("CARRAY"))
+        ds.attrs.create("TITLE", np.bytes_(""))
+        ds.attrs.create("VERSION", np.bytes_("1.1"))
+
+
+def test_load_dd_reads_authentic_deepdish_layout(tmp_path):
+    """load_dd must consume the reference toolchain's real on-disk layout
+    (group attrs incl. DEEPDISH_IO_VERSION, pytables CArray filters), not
+    just our own save_dd output."""
+    arr = np.random.default_rng(3).random((32, 32, 32)).astype(np.float32)
+    p = str(tmp_path / "authentic.dd")
+    _write_authentic_deepdish_file(p, arr)
+    np.testing.assert_array_equal(load_dd(p), arr)
+
+
+def test_load_dd_fallback_on_renamed_node(tmp_path):
+    """A pytables file whose only array node is not named 'data' still loads
+    via the first-dataset fallback (deepdish keys the dict on the node name;
+    a hand-rolled file may differ)."""
+    import h5py
+
+    arr = np.arange(8, dtype=np.float32).reshape(2, 4)
+    p = str(tmp_path / "odd.dd")
+    _write_authentic_deepdish_file(p, arr)
+    with h5py.File(p, "a") as f:
+        f.move("data", "voxels")
+    np.testing.assert_array_equal(load_dd(p), arr)
+
+
+def test_save_dd_emits_deepdish_compatible_layout(tmp_path):
+    """save_dd output must be readable by the reference's ``dd.io.load``:
+    deepdish maps any chunked dataset to tables.CArray (a tables.Array
+    subclass its _load_level returns as node[:]) and keys the result dict on
+    the node name — so the executable contract here is the exact pytables
+    structure: root attrs (incl. DEEPDISH_IO_VERSION), a chunked
+    gzip+shuffle '/data' node, and CArray class attrs."""
+    import h5py
+
+    arr = np.random.default_rng(4).random((16, 16, 16)).astype(np.float32)
+    p = str(tmp_path / "ours.dd")
+    save_dd(p, arr)
+    with h5py.File(p, "r") as f:
+        assert f.attrs["CLASS"] == b"GROUP"
+        assert f.attrs["PYTABLES_FORMAT_VERSION"] == b"2.1"
+        assert int(f.attrs["DEEPDISH_IO_VERSION"]) == 12
+        ds = f["data"]
+        assert ds.attrs["CLASS"] == b"CARRAY"
+        assert ds.attrs["VERSION"] == b"1.1"
+        assert ds.chunks is not None  # chunked => tables.CArray on load
+        assert ds.compression == "gzip" and ds.shuffle
+        np.testing.assert_array_equal(ds[...], arr)
+
+
+def test_dataset_consumes_authentic_deepdish_directory(tmp_path):
+    """End-to-end: a directory of authentic-layout files drives the full
+    PointCloudDataset path (category filter, voxel normalize, voxel->pc)."""
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        grid = (rng.random((32, 32, 32)) > 0.9).astype(np.float32)
+        _write_authentic_deepdish_file(
+            str(tmp_path / f"shape_net_voxel_data_03001627_chair_{i:04d}.dd"),
+            grid,
+        )
+    ds = PointCloudDataset(
+        str(tmp_path), num_points=64, input_mode="voxels",
+        output_mode="point_clouds", relevant_object_categories=["chair"],
+        seed=24,
+    )
+    assert len(ds) == 3
+    pc = ds[0]
+    assert pc.shape == (64, 3)
+    assert np.isfinite(pc).all()
+
+
 def test_category_filter(data_dir):
     all_ds = PointCloudDataset(data_dir, relevant_object_categories=["all"])
     chair_ds = PointCloudDataset(data_dir, relevant_object_categories=["chair"])
