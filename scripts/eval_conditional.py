@@ -55,12 +55,39 @@ def parse_args():
     p.add_argument("--max-refs", type=int, default=64,
                    help="cap on reference clouds per class")
     p.add_argument("--seed", type=int, default=24)
+    p.add_argument("--use-ema", action="store_true", default=False,
+                   help="evaluate with the checkpoint's sibling EMA params "
+                        "(<checkpoint>.ema, written when training ran with "
+                        "--ema-decay; clearly-marked extension)")
     p.add_argument("--out", default=None, help="write JSON evidence here")
     p.add_argument("--no-emd", dest="emd", action="store_false", default=True,
                    help="skip the Sinkhorn-EMD second-statistic matrices")
     p.add_argument("--emd-points", type=int, default=512,
                    help="per-cloud point subsample for the EMD matrices "
                         "(Sinkhorn cost is O(N*M) per pair per iteration)")
+    p.add_argument("--exact-emd", action="store_true", default=False,
+                   help="ALSO score selected class blocks with the EXACT "
+                        "EMD at full point count (reference "
+                        "metrics.py:49-92 semantics — no Sinkhorn "
+                        "regularization, no subsampling): all own-class "
+                        "diagonals plus both directions of each "
+                        "--confusable pair. Device auction solver on TPU "
+                        "(certified within N*eps of optimal), host "
+                        "Hungarian otherwise.")
+    p.add_argument("--confusable", nargs="+", default=["airplane:lamp"],
+                   help="gen:ref class pairs whose off-diagonal blocks the "
+                        "exact-EMD pass scores in both directions")
+    p.add_argument("--exact-emd-backend", default="auto",
+                   choices=["auto", "device", "host"])
+    p.add_argument("--exact-emd-block", type=int, default=32,
+                   help="pairs per device batch for the auction solver")
+    p.add_argument("--exact-emd-guidance", type=float, nargs="*", default=None,
+                   help="restrict the exact-EMD pass to these guidance "
+                        "values (default: all)")
+    p.add_argument("--exact-emd-ref-ceiling", action="store_true",
+                   default=False,
+                   help="also compute the exact-EMD data ceiling (ref-vs-ref "
+                        "LOO + cross blocks) for the confusable classes")
     return p.parse_args()
 
 
@@ -74,6 +101,40 @@ def subsample_points(clouds: np.ndarray, k: int, seed: int) -> np.ndarray:
     for i, c in enumerate(clouds):
         out[i] = c[rng.choice(c.shape[0], size=k, replace=False)]
     return out
+
+
+def exact_block_set(cats, confusable):
+    """(gen-idx, ref-idx) blocks the exact-EMD pass scores: every own-class
+    diagonal plus both directions of each confusable pair."""
+    blocks = {(i, i) for i in range(len(cats))}
+    for pair in confusable:
+        a, _, b = pair.partition(":")
+        if a in cats and b in cats:
+            ia, ib = cats.index(a), cats.index(b)
+            blocks.add((ia, ib))
+            blocks.add((ib, ia))
+    return sorted(blocks)
+
+
+def matrix_to_jsonable(m):
+    """NaN-padded numpy matrix -> nested lists with None for unscored."""
+    return [
+        [None if np.isnan(v) else float(v) for v in row] for row in m
+    ]
+
+
+def scored_row_verdicts(m, cats):
+    """Per gen-class: is the own-class entry the min over the SCORED entries
+    of its row (rows with fewer than 2 scored entries return None)?"""
+    verdicts = {}
+    for i, c in enumerate(cats):
+        row = m[i]
+        scored = ~np.isnan(row)
+        if scored.sum() < 2 or np.isnan(row[i]):
+            verdicts[c] = None
+        else:
+            verdicts[c] = bool(row[i] == np.nanmin(row))
+    return verdicts
 
 
 def reference_set(data_dir, category, num_points, max_refs):
@@ -99,6 +160,19 @@ def reference_set(data_dir, category, num_points, max_refs):
 def main():
     args = parse_args()
     task, state, meta = load_task_checkpoint(args.checkpoint)
+    if args.use_ema:
+        from shapegen_tpu.train.checkpoints import load_checkpoint
+
+        ema_path = args.checkpoint + ".ema"
+        assert os.path.isdir(ema_path), (
+            f"--use-ema: no EMA payload at {ema_path} (train with "
+            "--ema-decay)"
+        )
+        ema_params, _ = load_checkpoint(
+            ema_path, jax.device_get(state.params)
+        )
+        state = state.replace(params=jax.device_put(ema_params))
+        print(f"[ema] evaluating with EMA params from {ema_path}")
     assert task.num_classes is not None, (
         "checkpoint is unconditional; train with --conditional"
     )
@@ -159,6 +233,36 @@ def main():
             row = " ".join(f"{ref_sep_emd[i, j]:.4f}" for j in range(len(cats0)))
             print(f"  {ci}: {row}  (diag is row-min: "
                   f"{ref_sep_emd[i, i] == ref_sep_emd[i].min()})")
+
+    # Exact-EMD data ceiling over the confusable classes (the statistic's
+    # own separability bound before judging the generator).
+    ref_ceiling_exact = None
+    if args.exact_emd and args.exact_emd_ref_ceiling:
+        conf_idx = set()
+        for pair in args.confusable:
+            a, _, b = pair.partition(":")
+            if a in cats0 and b in cats0:
+                conf_idx.update({cats0.index(a), cats0.index(b)})
+        ref_ceiling_exact = np.full((len(cats0), len(cats0)), np.nan)
+        for i in sorted(conf_idx):
+            for j in sorted(conf_idx):
+                d = metrics.pairwise_exact_emd_matrix(
+                    refs[cats0[i]], refs[cats0[j]],
+                    backend=args.exact_emd_backend,
+                    block=args.exact_emd_block,
+                )
+                if i == j:
+                    d = d + np.diag(np.full(d.shape[0], np.inf))
+                ref_ceiling_exact[i, j] = float(np.min(d, axis=1).mean())
+        print("\nReference-vs-reference separability under EXACT EMD "
+              "(full points; diag=LOO; confusable classes only):")
+        for i in sorted(conf_idx):
+            row = " ".join(
+                "-" if np.isnan(ref_ceiling_exact[i, j])
+                else f"{ref_ceiling_exact[i, j]:.4f}"
+                for j in range(len(cats0))
+            )
+            print(f"  {cats0[i]}: {row}")
 
     # --- label probe: does the model's eps-prediction use the label?
     # Fixed noise/t on real clouds: loss with TRUE labels should beat loss
@@ -251,6 +355,27 @@ def main():
                     mean_emd[i, j] = float(d.mean())
                     mmd_emd[i, j] = float(d.min(axis=0).mean())
 
+        mean_exact = mmd_exact = None
+        run_exact = args.exact_emd and (
+            args.exact_emd_guidance is None
+            or guidance in args.exact_emd_guidance
+        )
+        if run_exact:
+            blocks = exact_block_set(cats, args.confusable)
+            mean_exact = np.full((len(cats), len(cats)), np.nan)
+            mmd_exact = np.full((len(cats), len(cats)), np.nan)
+            for (i, j) in blocks:
+                d = metrics.pairwise_exact_emd_matrix(
+                    gens[cats[i]], refs[cats[j]],
+                    backend=args.exact_emd_backend,
+                    block=args.exact_emd_block, progress=True,
+                )
+                mean_exact[i, j] = float(d.mean())
+                mmd_exact[i, j] = float(d.min(axis=0).mean())
+                print(f"[exact-emd g={guidance}] {cats[i]} vs {cats[j]}: "
+                      f"mean {mean_exact[i, j]:.4f} "
+                      f"mmd {mmd_exact[i, j]:.4f}")
+
         print(table(mean_cd, f"Mean pairwise CD (guidance {guidance})"))
         print(table(mmd_cd, f"MMD-CD (guidance {guidance})"))
         if args.emd:
@@ -295,6 +420,32 @@ def main():
                 "own_class_separates_mean_emd": sep_emd,
                 "own_class_separates_mmd_emd": sep_mmd_emd,
             })
+        if mean_exact is not None:
+            v_mean = scored_row_verdicts(mean_exact, cats)
+            v_mmd = scored_row_verdicts(mmd_exact, cats)
+            print(f"\nEXACT EMD verdicts (guidance {guidance}; scored "
+                  f"blocks only): mean {v_mean}")
+            print(f"EXACT EMD verdicts (guidance {guidance}): MMD {v_mmd}")
+            # Margins for the confusable pairs: (cross - own) / own; > 0
+            # means the generated class wins its own row.
+            for pair in args.confusable:
+                a, _, b = pair.partition(":")
+                if a not in cats or b not in cats:
+                    continue
+                ia, ib = cats.index(a), cats.index(b)
+                for m, nm in ((mean_exact, "mean"), (mmd_exact, "mmd")):
+                    if not np.isnan(m[ia, ib]):
+                        marg = (m[ia, ib] - m[ia, ia]) / m[ia, ia]
+                        print(f"[exact-emd g={guidance}] {a}->{b} {nm} "
+                              f"margin {marg * 100:+.2f}% (own "
+                              f"{m[ia, ia]:.4f} vs cross {m[ia, ib]:.4f})")
+            rec.update({
+                "mean_emd_exact": matrix_to_jsonable(mean_exact),
+                "mmd_emd_exact": matrix_to_jsonable(mmd_exact),
+                "exact_emd_backend": args.exact_emd_backend,
+                "own_class_separates_mean_emd_exact": v_mean,
+                "own_class_separates_mmd_emd_exact": v_mmd,
+            })
         results.append(rec)
 
     if args.out:
@@ -310,6 +461,15 @@ def main():
                     "ref_separability_emd": (
                         ref_sep_emd.tolist() if ref_sep_emd is not None else None
                     ),
+                    "ref_separability_emd_exact": (
+                        matrix_to_jsonable(
+                            np.where(
+                                np.isinf(ref_ceiling_exact), np.nan,
+                                ref_ceiling_exact,
+                            )
+                        ) if ref_ceiling_exact is not None else None
+                    ),
+                    "use_ema": args.use_ema,
                     "label_probe": probe_losses,
                     "per_guidance": results,
                 },

@@ -68,6 +68,12 @@ def parse_args():
                         "over this many devices (POINT_UNET_LARGE_TP_RULES;"
                         " memory headroom, not speed — DP is the perf "
                         "default, docs/ARCHITECTURE.md)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="EXTENSION: keep an exponential moving average of "
+                        "the params (e.g. 0.999), saved as a sibling .ema "
+                        "payload next to every checkpoint; 0 disables "
+                        "(reference-parity default). Evaluate with "
+                        "eval_conditional.py --use-ema.")
     p.add_argument("--viz-samples", type=int, default=4,
                    help="epoch-end generated-sample figures (0 disables)")
     p.add_argument("--viz-steps", type=int, default=1000)
@@ -234,6 +240,7 @@ def main():
         tb_dir=args.tb_dir,
         tb_name="point_cloud_diffusion",
         seed=args.seed,
+        ema_decay=args.ema_decay or None,
     )
     trainer = Trainer(
         task, cfg, mesh=mesh, logger=logger,

@@ -57,6 +57,14 @@ def parse_args():
     p.add_argument("--vae-checkpoint", default=None)
     p.add_argument("--diffusion-checkpoint", default=None)
     p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel axis size for the LATENT-DIFFUSION "
+                        "phase: a 2-D (data, model) mesh shards the latent "
+                        "UNet's global-feature chain over this many devices "
+                        "(SIMPLE_LATENT_UNET_TP_RULES; must divide the mesh "
+                        "size and the GroupNorm group count 8). The VAE "
+                        "phase has no TP rules and runs data-parallel over "
+                        "the same mesh's 'data' axis.")
     p.add_argument("--sample-threshold", type=float, default=0.4)
     p.add_argument("--final-samples", type=int, default=10)
     p.add_argument("--max-decode-points", type=int, default=8192)
@@ -357,10 +365,16 @@ def train_diffusion(args, data_module, vae_task, vae_state, logger, timestamp, m
         tb_name="latent_diffusion",
         seed=args.seed,
     )
+    sharding_rules = None
+    if args.model_parallel > 1:
+        from shapegen_tpu.models.latent_unet import SIMPLE_LATENT_UNET_TP_RULES
+
+        sharding_rules = SIMPLE_LATENT_UNET_TP_RULES
     epoch_end_hooks, val_batch_hooks = make_ldm_hooks(args, task)
     trainer = Trainer(
         task, cfg, mesh=mesh, logger=logger,
         epoch_end_hooks=epoch_end_hooks, val_batch_hooks=val_batch_hooks,
+        sharding_rules=sharding_rules,
     )
     state = trainer.fit(data_module, resume_from=args.diffusion_checkpoint)
     return task, state
@@ -391,7 +405,28 @@ def main():
     # one training run through the data-sharded step (otherwise every
     # process would silently train its own model on a disjoint shard).
     use_mesh = (args.num_devices or 1) > 1 or jax.process_count() > 1
-    mesh = make_mesh(args.num_devices) if use_mesh else None
+    if args.model_parallel > 1:
+        from shapegen_tpu.models.latent_unet import LATENT_UNET_TP_MAX_MODEL
+
+        n = args.num_devices or jax.device_count()
+        if n % args.model_parallel:
+            raise SystemExit(
+                f"--model-parallel {args.model_parallel} must divide the "
+                f"mesh size {n}"
+            )
+        if LATENT_UNET_TP_MAX_MODEL % args.model_parallel:
+            raise SystemExit(
+                f"--model-parallel {args.model_parallel} must divide the "
+                f"latent UNet's GroupNorm group count "
+                f"({LATENT_UNET_TP_MAX_MODEL}) so group statistics stay "
+                "shard-local"
+            )
+        mesh = make_mesh(
+            n, axis_names=("data", "model"),
+            mesh_shape=(n // args.model_parallel, args.model_parallel),
+        )
+    else:
+        mesh = make_mesh(args.num_devices) if use_mesh else None
 
     logger.info("Starting VAE Training" if not args.skip_vae_training else "Loading VAE")
     vae_task, vae_state = train_vae(args, data_module, logger, timestamp, mesh)

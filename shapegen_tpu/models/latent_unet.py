@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -22,6 +23,34 @@ from shapegen_tpu.models.layers import (
 )
 
 Dtype = Any
+
+# Tensor-parallel sharding rules for SimpleLatentUNet on an N-D mesh with a
+# 'model' axis (parallel.mesh.tree_shardings consumes these; the 1-D data
+# mesh stays the perf default). Megatron-style column->row split of the
+# widest pair, the global-feature chain:
+#   * DenseGN_4 (2*dim -> 4*dim) column-parallel: kernel out-dim, bias and
+#     the GroupNorm scale/bias shard per-channel. GroupNorm(8) statistics
+#     stay LOCAL to each model shard because group boundaries align with
+#     shard boundaries whenever the model-axis size divides the group count
+#     (8) — see LATENT_UNET_TP_MAX_MODEL below;
+#   * DenseGN_5 (4*dim -> 8*dim) row-parallel: the kernel's contracting dim
+#     matches the sharded activation, XLA inserts ONE psum over the
+#     (B, 8*dim) partial sums, after which bias/GroupNorm run replicated.
+# Anchored on the tree containers a TOP-LEVEL module sits directly under
+# (params / optax moments mu & nu); GroupNorm keeps no batch stats.
+_TP_ROOT = r"(?:^|/)(?:params|mu|nu)/"
+SIMPLE_LATENT_UNET_TP_RULES = [
+    (_TP_ROOT + r"DenseGN_4/Dense_0/kernel$",
+     jax.sharding.PartitionSpec(None, "model")),
+    (_TP_ROOT + r"DenseGN_4/(Dense_0/bias|GroupNorm_0/(bias|scale))$",
+     jax.sharding.PartitionSpec("model")),
+    (_TP_ROOT + r"DenseGN_5/Dense_0/kernel$",
+     jax.sharding.PartitionSpec("model", None)),
+]
+
+#: The model axis must divide DenseGN's GroupNorm group count so each shard
+#: holds whole groups (group statistics then need no cross-shard comms).
+LATENT_UNET_TP_MAX_MODEL = 8
 
 
 class SimpleLatentUNet(nn.Module):

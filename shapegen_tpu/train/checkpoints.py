@@ -109,8 +109,12 @@ class TopKCheckpointer:
         value: float,
         hparams: Optional[Dict] = None,
         extra: Optional[Dict] = None,
+        ema: Optional[Any] = None,
     ) -> Optional[str]:
         """Save if `value` ranks in the top k for this monitor. Returns path.
+
+        ``ema`` (extension): an EMA param tree saved as a sibling orbax
+        payload at ``path + ".ema"``, evicted together with its checkpoint.
 
         Multi-process: only process 0 writes (see _make_checkpointer); other
         hosts return None and keep their (unused) ledgers empty."""
@@ -125,6 +129,10 @@ class TopKCheckpointer:
             shutil.rmtree(path)
         self._ckpt.save(path, jax.device_get(state))
         self._ckpt.wait_until_finished()
+        if ema is not None:
+            shutil.rmtree(path + ".ema", ignore_errors=True)
+            self._ckpt.save(path + ".ema", jax.device_get(ema))
+            self._ckpt.wait_until_finished()
         meta = {
             "epoch": epoch,
             "monitor": self.monitor,
@@ -145,6 +153,7 @@ class TopKCheckpointer:
         while self.save_top_k > 0 and len(self._kept) > self.save_top_k:
             _, evict = self._kept.pop()
             shutil.rmtree(evict, ignore_errors=True)
+            shutil.rmtree(evict + ".ema", ignore_errors=True)
             try:
                 os.remove(evict + ".json")
             except OSError:
@@ -253,19 +262,21 @@ def recover_interrupted_save(path: str) -> None:
 
 def save_last_checkpoint(
     dirpath: str, state: Any, epoch: int, hparams: Optional[Dict] = None,
-    extra: Optional[Dict] = None,
+    extra: Optional[Dict] = None, ema: Optional[Any] = None,
 ) -> str:
     """Overwrite a rolling 'last.ckpt' for crash recovery (an extension over
     the reference, whose only recovery is manually pointing at a top-k file,
-    SURVEY.md §5)."""
+    SURVEY.md §5). ``ema``: sibling EMA payload at 'last.ckpt.ema' (its own
+    atomic swap, written before the main payload so a crash between the two
+    can only pair a new EMA with an old state — never a missing EMA)."""
     path = os.path.join(os.path.abspath(dirpath), "last.ckpt")
     if not _is_primary():
         return path  # pod: process 0 owns all checkpoint I/O
-    return atomic_save(
-        path, jax.device_get(state),
-        {"epoch": epoch, "monitor": "last", "value": None,
-         "hparams": hparams or {}, "extra": extra or {}},
-    )
+    meta = {"epoch": epoch, "monitor": "last", "value": None,
+            "hparams": hparams or {}, "extra": extra or {}}
+    if ema is not None:
+        atomic_save(path + ".ema", jax.device_get(ema), {"epoch": epoch})
+    return atomic_save(path, jax.device_get(state), meta)
 
 
 def find_latest_checkpoint(dirpath: str) -> Optional[str]:

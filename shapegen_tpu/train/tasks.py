@@ -299,6 +299,22 @@ class LatentDiffusionTask:
             make_adamw(self.lr),
         )
 
+    def place_on_mesh(self, mesh):
+        """Pin the closed-over frozen VAE variables to the mesh, replicated.
+
+        The Trainer calls this once before fitting on a mesh: the VAE
+        variables are captured by the jitted step as constants, and placing
+        them as committed replicated arrays makes the layout explicit — one
+        replica per device, resident for the whole run, never re-transferred
+        per step (asserted by tests/test_sharding.py)."""
+        from shapegen_tpu.parallel.mesh import replicated_sharding
+
+        if mesh is None:
+            return
+        self.vae_variables = jax.device_put(
+            self.vae_variables, replicated_sharding(mesh)
+        )
+
     def make_scheduler(self):
         # AdamW + CosineAnnealingLR (diffusion.py:410-423).
         return CosineAnnealingLR(self.lr, t_max=self.max_epochs)
@@ -463,9 +479,17 @@ class VAE3DLargeTask:
             _variables(state), x, train=False, method=self.model.encode
         )
 
-    def sample_voxels(self, state, key, num_samples):
-        """Prior draws -> decoded occupancy grids (networks.py:2446-2462)."""
+    def sample_voxels(self, state, key, num_samples, mesh=None):
+        """Prior draws -> decoded occupancy grids (networks.py:2446-2462).
+
+        With ``mesh``, the prior latents are batch-sharded over the 'data'
+        axis so the decode fans out across chips (same latents as the
+        unsharded call — sharding is a layout, not a numerics change)."""
         z = jax.random.normal(key, (num_samples, self.model.latent_dim))
+        if mesh is not None:
+            from shapegen_tpu.parallel.mesh import batch_sharding
+
+            z = jax.device_put(z, batch_sharding(mesh))
         return self.decode(state, z)
 
 

@@ -51,6 +51,12 @@ class TrainerConfig:
     log_every_steps: int = 50
     val_every_epochs: int = 1
     save_last_every: int = 1  # rolling last.ckpt cadence (epochs)
+    # EXTENSION (no reference equivalent): exponential moving average of the
+    # params, updated after every train step on device. None/0 = off (the
+    # reference-parity default). When on, every checkpoint payload gets a
+    # sibling ``<path>.ema`` orbax directory holding the EMA param tree;
+    # eval can swap it in (scripts/eval_conditional.py --use-ema).
+    ema_decay: Optional[float] = None
     # Device-trace capture (utils/profiling.py): when profile_dir is set,
     # the first profile_epochs epochs of this fit() are recorded as a
     # jax.profiler trace viewable in TensorBoard/Perfetto.
@@ -86,6 +92,21 @@ class Trainer:
 
         self._train_step = jax.jit(task.train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(task.eval_step)
+
+        # EMA of params (extension, see TrainerConfig.ema_decay). The update
+        # is one jitted elementwise pass; donating the old EMA tree keeps it
+        # a pure in-place lerp on device.
+        self.ema_params = None
+        self._ema_update = None
+        if config.ema_decay:
+            d = float(config.ema_decay)
+            assert 0.0 < d < 1.0, f"ema_decay must be in (0, 1), got {d}"
+            self._ema_update = jax.jit(
+                lambda ema, p: jax.tree_util.tree_map(
+                    lambda e, q: d * e + (1.0 - d) * q, ema, p
+                ),
+                donate_argnums=(0,),
+            )
 
         self.val_ckpt = TopKCheckpointer(
             config.ckpt_dir, "val_loss", config.ckpt_prefix, config.save_top_k
@@ -258,6 +279,39 @@ class Trainer:
             self._log(f"Resumed from {resume_from} at epoch {start_epoch}")
 
         state = shard_state(state, self.mesh, self.sharding_rules)
+        # Tasks that close over frozen variables (LatentDiffusionTask's VAE)
+        # pin them to the mesh once here — replicated, device-resident for
+        # the whole run rather than re-captured per compile.
+        if self.mesh is not None and hasattr(self.task, "place_on_mesh"):
+            self.task.place_on_mesh(self.mesh)
+
+        if self._ema_update is not None:
+            # Resume the EMA tree from the checkpoint's sibling payload when
+            # present; otherwise seed it with the current params.
+            ema_host = None
+            if resume_from:
+                from shapegen_tpu.train.checkpoints import (
+                    recover_interrupted_save,
+                )
+
+                recover_interrupted_save(resume_from + ".ema")
+            if resume_from and os.path.isdir(resume_from + ".ema"):
+                ema_host, _ = load_checkpoint(
+                    resume_from + ".ema", jax.device_get(state.params)
+                )
+                self._log(f"Resumed EMA params from {resume_from}.ema")
+            # Seed with a genuine COPY placed like the live params
+            # (replicated or TP-sharded): _ema_update donates its first
+            # argument, so aliasing state.params here would delete the live
+            # param buffers on the first update.
+            self.ema_params = jax.tree_util.tree_map(
+                lambda p, s: jax.device_put(
+                    jnp.array(p, copy=True),
+                    s.sharding if isinstance(s, jax.Array) else None,
+                ),
+                ema_host if ema_host is not None else state.params,
+                state.params,
+            )
 
         # Continue the per-step RNG stream across resumes (fold_in by global
         # step) instead of replaying the first run's noise sequence.
@@ -277,6 +331,10 @@ class Trainer:
                 batch = self._device_batch(batch)
                 step_rng = jax.random.fold_in(rng, step)
                 state, metrics = self._train_step(state, batch, step_rng, epoch_dev)
+                if self._ema_update is not None:
+                    self.ema_params = self._ema_update(
+                        self.ema_params, state.params
+                    )
                 for k, v in metrics.items():
                     train_metrics[k].append(v)
                 step += 1
@@ -356,20 +414,29 @@ class Trainer:
                         "step": state.step,
                     }
                 )
+                host_ema = (
+                    jax.device_get(self.ema_params)
+                    if self.ema_params is not None else None
+                )
                 extra = {
                     "scheduler": scheduler.state_dict() if scheduler else None,
                 }
+                if self._ema_update is not None:
+                    extra["ema_decay"] = float(cfg.ema_decay)
                 if want_val:
                     self.val_ckpt.maybe_save(
-                        host_state, epoch, val_loss, self.task.hparams, extra
+                        host_state, epoch, val_loss, self.task.hparams, extra,
+                        ema=host_ema,
                     )
                 if want_train:
                     self.train_ckpt.maybe_save(
-                        host_state, epoch, train_loss, self.task.hparams, extra
+                        host_state, epoch, train_loss, self.task.hparams, extra,
+                        ema=host_ema,
                     )
                 if want_last:
                     save_last_checkpoint(
-                        cfg.ckpt_dir, host_state, epoch, self.task.hparams, extra
+                        cfg.ckpt_dir, host_state, epoch, self.task.hparams,
+                        extra, ema=host_ema,
                     )
 
             # ---- user hooks (sample generation figures etc.)
