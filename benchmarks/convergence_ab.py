@@ -38,6 +38,13 @@ def parse_args():
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seed", type=int, default=24)
+    p.add_argument("--legs", default="both",
+                   choices=["both", "torch", "framework"],
+                   help="run one leg only (partial history saved to "
+                        "<out>.<leg>.json; the second run merges them). "
+                        "Lets the framework leg run on the TPU without the "
+                        "torch leg holding the single-client tunnel for "
+                        "its hour-long CPU grind.")
     p.add_argument("--out", default=os.path.join(
         REPO, "benchmarks", "artifacts", "convergence_ab_r4.json"))
     return p.parse_args()
@@ -132,30 +139,58 @@ def main():
         relevant_object_categories=["all"], seed=args.seed,
     )
     dm.setup()
-    task = tasks.PointDiffusionTask(
-        models.PointUNetLarge(dim=args.dim, time_dim=args.dim),
-        num_points=args.num_points, lr=1e-4,
-    )
-    first = np.stack([dm.dataset[i] for i in dm.val_indices[: args.batch_size]])
-    state = task.init_state(jax.random.PRNGKey(0), jnp.asarray(first))
-    # Identical starting point: transplant the torch init into the state.
-    state = state.replace(
-        params=jax.device_put(params0), batch_stats=jax.device_put(stats0)
-    )
-    import tempfile
-
-    with tempfile.TemporaryDirectory() as tmp:
-        cfg = TrainerConfig(
-            max_epochs=args.epochs, ckpt_dir=os.path.join(tmp, "ck"),
-            tb_dir=None, save_top_k=0, save_last_every=10**6, seed=args.seed,
+    hist_jax = hist_torch = None
+    if args.legs in ("both", "framework"):
+        task = tasks.PointDiffusionTask(
+            models.PointUNetLarge(dim=args.dim, time_dim=args.dim),
+            num_points=args.num_points, lr=1e-4,
         )
-        trainer = Trainer(task, cfg)
-        trainer.fit(dm, state=state)
-    hist_jax = trainer.history
+        first = np.stack(
+            [dm.dataset[i] for i in dm.val_indices[: args.batch_size]]
+        )
+        state = task.init_state(jax.random.PRNGKey(0), jnp.asarray(first))
+        # Identical starting point: transplant the torch init into the state.
+        state = state.replace(
+            params=jax.device_put(params0), batch_stats=jax.device_put(stats0)
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = TrainerConfig(
+                max_epochs=args.epochs, ckpt_dir=os.path.join(tmp, "ck"),
+                tb_dir=None, save_top_k=0, save_last_every=10**6,
+                seed=args.seed,
+            )
+            trainer = Trainer(task, cfg)
+            trainer.fit(dm, state=state)
+        hist_jax = trainer.history
 
     # ---- torch side: same split, reference loop --------------------------
-    hist_torch = run_torch(oracle, dm.dataset, dm.train_indices,
-                           dm.val_indices, args)
+    if args.legs in ("both", "torch"):
+        hist_torch = run_torch(oracle, dm.dataset, dm.train_indices,
+                               dm.val_indices, args)
+
+    # Single-leg runs: persist the partial history and merge with the other
+    # leg's file when it already exists (both runs are deterministic in
+    # (seed, config), so split/init/shuffle streams match across processes).
+    if args.legs != "both":
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        part = f"{args.out}.{args.legs}.json"
+        with open(part, "w") as f:
+            json.dump(hist_jax if args.legs == "framework" else hist_torch, f)
+        print(f"wrote {part}")
+        other = (
+            f"{args.out}.torch.json" if args.legs == "framework"
+            else f"{args.out}.framework.json"
+        )
+        if not os.path.exists(other):
+            print(f"waiting for the other leg ({other}) before summarizing")
+            return
+        with open(other) as f:
+            if args.legs == "framework":
+                hist_torch = json.load(f)
+            else:
+                hist_jax = json.load(f)
 
     val_j = np.array([h["val_loss"] for h in hist_jax])
     val_t = np.array([h["val_loss"] for h in hist_torch])

@@ -82,6 +82,15 @@ def parse_args():
     p.add_argument("--tb-dir", default="lightning_logs")
     p.add_argument("--save-top-k", type=int, default=10,
                    help="top-k checkpoints per monitor (reference: 10)")
+    p.add_argument("--save-top-k-train", type=int, default=None,
+                   help="top-k override for the train_loss monitor only "
+                        "(0 disables it; default: same as --save-top-k). "
+                        "Long tunnel-bound runs that only need the best-val "
+                        "checkpoint avoid the per-admission state fetch.")
+    p.add_argument("--val-every", type=int, default=1,
+                   help="validate every N epochs (reference default 1; a "
+                        "speed knob for long runs — val-monitored "
+                        "checkpoint admissions follow this cadence)")
     p.add_argument("--save-last-every", type=int, default=1,
                    help="rolling last.ckpt cadence in epochs; raise on "
                         "slow-transfer links (the full-state fetch costs "
@@ -241,6 +250,8 @@ def main():
         tb_name="point_cloud_diffusion",
         seed=args.seed,
         ema_decay=args.ema_decay or None,
+        save_top_k_train=args.save_top_k_train,
+        val_every_epochs=args.val_every,
     )
     trainer = Trainer(
         task, cfg, mesh=mesh, logger=logger,

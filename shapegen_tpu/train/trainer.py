@@ -45,6 +45,12 @@ class TrainerConfig:
     ckpt_dir: str = "checkpoints"
     ckpt_prefix: str = "model"
     save_top_k: int = 10
+    # Override for the train_loss monitor only (None = same as save_top_k;
+    # 0 disables it). On this image the device->host state fetch per
+    # admitted save costs ~minutes-worth of epochs over the tunnel
+    # (~9 MB/s), and the train monitor admits on every noisy improvement —
+    # long runs that only need the best-val checkpoint can turn it off.
+    save_top_k_train: Optional[int] = None
     tb_dir: Optional[str] = "lightning_logs"
     tb_name: str = "run"
     seed: int = 24
@@ -112,7 +118,9 @@ class Trainer:
             config.ckpt_dir, "val_loss", config.ckpt_prefix, config.save_top_k
         )
         self.train_ckpt = TopKCheckpointer(
-            config.ckpt_dir, "train_loss", config.ckpt_prefix, config.save_top_k
+            config.ckpt_dir, "train_loss", config.ckpt_prefix,
+            config.save_top_k
+            if config.save_top_k_train is None else config.save_top_k_train,
         )
 
         # Per-epoch metric dicts appended during fit() — programmatic access
