@@ -239,3 +239,24 @@ def test_hungarian_threaded_matches_sequential(rng):
     seq = _hungarian_pairs_host(x, y, workers=1)
     par = _hungarian_pairs_host(x, y, workers=4)
     np.testing.assert_array_equal(seq, par)
+
+
+def test_pairwise_exact_emd_matrix_backends_agree():
+    """The exact-EMD confusion-matrix helper: host Hungarian and device
+    auction backends agree with each other and with per-pair
+    earth_mover_distance_hungarian on the same (cube-normalized) clouds."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    gen = rng.standard_normal((3, 48, 3)).astype(np.float32)
+    ref = rng.standard_normal((4, 48, 3)).astype(np.float32)
+
+    host = metrics.pairwise_exact_emd_matrix(gen, ref, backend="host")
+    dev = metrics.pairwise_exact_emd_matrix(gen, ref, backend="device")
+    assert host.shape == dev.shape == (3, 4)
+    np.testing.assert_allclose(host, dev, rtol=1e-4, atol=1e-5)
+
+    # Spot-check one entry against the public per-pair oracle (which
+    # cube-normalizes internally, like the matrix helper).
+    want = metrics.earth_mover_distance_hungarian(gen[1:2], ref[2:3])
+    assert host[1, 2] == pytest.approx(want, rel=1e-6)
