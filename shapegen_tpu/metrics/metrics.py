@@ -587,14 +587,18 @@ def compute_metrics_batched(
     reference: jnp.ndarray,
     use_approximate_gpu_emd: bool = False,
     use_pallas: Optional[bool] = None,
+    exact_emd_backend: str = "host",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All-pairs eval metrics with device/host overlap (SURVEY hard part #4).
 
     ONE jitted program computes per-pair CD + voxel-BCE (+ Sinkhorn EMD when
     requested) for the whole batch and is dispatched asynchronously; the
-    exact host Hungarian EMD (O(n^3) scipy, the expensive part) then runs
-    pair-by-pair on the host WHILE the device work completes. Per-pair values
-    match a sequential ``compute_metrics`` loop
+    exact EMD (the expensive part) then runs either pair-by-pair on the host
+    WHILE the device work completes (``exact_emd_backend='host'`` — native
+    C++/scipy Hungarian), or batched ON DEVICE via the ε-scaling auction
+    solver (``'device'``, ops/auction.py — certified within n·ε of the
+    Hungarian optimum). Per-pair values match a sequential
+    ``compute_metrics`` loop
     (/root/reference/test_point_ddpm.py:85-97, metrics.py:160-183).
 
     Returns (cds, emds, recon_losses), each a (B,) numpy array.
@@ -606,6 +610,12 @@ def compute_metrics_batched(
     out = _pair_metrics_device(gen, ref, bool(use_approximate_gpu_emd), bool(use_pallas))
     if use_approximate_gpu_emd:
         emds = np.asarray(jax.device_get(out["emd"]))
+    elif exact_emd_backend == "device":
+        from shapegen_tpu.ops.auction import auction_emd_pairs
+
+        emds = np.asarray(jax.device_get(
+            auction_emd_pairs(normalize_to_cube(gen), normalize_to_cube(ref))
+        ))
     else:
         # Inputs are already materialized, so fetching them does not wait on
         # the batched program dispatched above — the Hungarian loop below

@@ -260,3 +260,18 @@ def test_pairwise_exact_emd_matrix_backends_agree():
     # cube-normalizes internally, like the matrix helper).
     want = metrics.earth_mover_distance_hungarian(gen[1:2], ref[2:3])
     assert host[1, 2] == pytest.approx(want, rel=1e-6)
+
+
+def test_compute_metrics_batched_device_exact_backend():
+    """compute_metrics_batched(exact_emd_backend='device') routes the exact
+    EMD through the auction solver and matches the host Hungarian path."""
+    rng = np.random.default_rng(2)
+    gen = rng.standard_normal((3, 64, 3)).astype(np.float32)
+    ref = rng.standard_normal((3, 64, 3)).astype(np.float32)
+    c1, e1, r1 = metrics.compute_metrics_batched(gen, ref,
+                                                 exact_emd_backend="host")
+    c2, e2, r2 = metrics.compute_metrics_batched(gen, ref,
+                                                 exact_emd_backend="device")
+    np.testing.assert_allclose(c1, c2)
+    np.testing.assert_allclose(r1, r2)
+    np.testing.assert_allclose(e1, e2, rtol=1e-3, atol=64 * 1e-5)
