@@ -238,24 +238,29 @@ def main():
     # own separability bound before judging the generator).
     ref_ceiling_exact = None
     if args.exact_emd and args.exact_emd_ref_ceiling:
+        # Per confusable pair, the 2x2 block (own-class LOO diagonals +
+        # both cross directions) — the statistic's own separability bound
+        # on the pair being judged.
+        blocks = set()
         conf_idx = set()
         for pair in args.confusable:
             a, _, b = pair.partition(":")
             if a in cats0 and b in cats0:
-                conf_idx.update({cats0.index(a), cats0.index(b)})
+                ia, ib = cats0.index(a), cats0.index(b)
+                conf_idx.update({ia, ib})
+                blocks.update({(ia, ia), (ia, ib), (ib, ia), (ib, ib)})
         ref_ceiling_exact = np.full((len(cats0), len(cats0)), np.nan)
-        for i in sorted(conf_idx):
-            for j in sorted(conf_idx):
-                d = metrics.pairwise_exact_emd_matrix(
-                    refs[cats0[i]], refs[cats0[j]],
-                    backend=args.exact_emd_backend,
-                    block=args.exact_emd_block,
-                )
-                if i == j:
-                    d = d + np.diag(np.full(d.shape[0], np.inf))
-                ref_ceiling_exact[i, j] = float(np.min(d, axis=1).mean())
+        for (i, j) in sorted(blocks):
+            d = metrics.pairwise_exact_emd_matrix(
+                refs[cats0[i]], refs[cats0[j]],
+                backend=args.exact_emd_backend,
+                block=args.exact_emd_block, progress=True,
+            )
+            if i == j:
+                d = d + np.diag(np.full(d.shape[0], np.inf))
+            ref_ceiling_exact[i, j] = float(np.min(d, axis=1).mean())
         print("\nReference-vs-reference separability under EXACT EMD "
-              "(full points; diag=LOO; confusable classes only):")
+              "(full points; diag=LOO; confusable pair blocks only):")
         for i in sorted(conf_idx):
             row = " ".join(
                 "-" if np.isnan(ref_ceiling_exact[i, j])
