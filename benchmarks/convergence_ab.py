@@ -111,6 +111,13 @@ def run_torch(oracle, ds, train_idx, val_idx, args):
         sched.step(entry["val_loss"])
         history.append(entry)
         print(f"[torch] epoch {epoch}: {entry}")
+        # Crash-safe partial: the torch leg costs minutes/epoch at flagship
+        # scale — persist after every epoch so an interrupted run still
+        # leaves a mergeable history.
+        if args.out:
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(f"{args.out}.torch.partial.json", "w") as f:
+                json.dump(history, f)
     return history
 
 

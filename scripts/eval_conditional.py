@@ -55,6 +55,12 @@ def parse_args():
     p.add_argument("--max-refs", type=int, default=64,
                    help="cap on reference clouds per class")
     p.add_argument("--seed", type=int, default=24)
+    p.add_argument("--seeds", type=int, nargs="+", default=None,
+                   help="run the whole sampling+scoring pass once per seed "
+                        "IN ONE PROCESS (jit caches amortize across seeds — "
+                        "a fresh process pays minutes of remote compile on "
+                        "the tunnel). Overrides --seed; each result record "
+                        "is tagged with its seed.")
     p.add_argument("--use-ema", action="store_true", default=False,
                    help="evaluate with the checkpoint's sibling EMA params "
                         "(<checkpoint>.ema, written when training ran with "
@@ -312,10 +318,13 @@ def main():
             lines.append(f"| {gc} | " + " | ".join(cells) + " |")
         return "\n".join(lines)
 
-    key = jax.random.PRNGKey(args.seed)
+    seeds = args.seeds or [args.seed]
     results = []
-    for g_idx, guidance in enumerate(args.guidance):
-        print(f"\n================ guidance {guidance} ================")
+    for seed, (g_idx, guidance) in (
+        (s, ge) for s in seeds for ge in enumerate(args.guidance)
+    ):
+        key = jax.random.PRNGKey(seed)
+        print(f"\n========= seed {seed} | guidance {guidance} =========")
         gens = {}
         for i, cat in enumerate(cats):
             lab = np.full((args.num_per_class,), labels[cat], np.int32)
@@ -398,6 +407,7 @@ def main():
         print(f"guidance {guidance}: own-class mean-CD row-min "
               f"{sum(sep)}/{len(cats)}; MMD-CD row-min {sum(sep_mmd)}/{len(cats)}")
         rec = {
+            "seed": seed,
             "guidance": guidance,
             "mean_cd": mean_cd.tolist(),
             "mmd_cd": mmd_cd.tolist(),
