@@ -462,10 +462,23 @@ def main():
                 "own_class_separates_mmd_emd_exact": v_mmd,
             })
         results.append(rec)
+        # Crash-safe partial: a full multi-seed eval holds the tunnel for
+        # tens of minutes — persist after every (seed, guidance) record.
+        if args.out:
+            _write_out(args, cats, ref_sep, ref_sep_emd, ref_ceiling_exact,
+                       probe_losses, results)
 
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(
+        _write_out(args, cats, ref_sep, ref_sep_emd, ref_ceiling_exact,
+                   probe_losses, results)
+        print(f"\nwrote {args.out}")
+
+
+def _write_out(args, cats, ref_sep, ref_sep_emd, ref_ceiling_exact,
+               probe_losses, results):
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
                 {
                     "checkpoint": args.checkpoint,
                     "categories": cats,
@@ -489,8 +502,8 @@ def main():
                     "per_guidance": results,
                 },
                 f, indent=1,
-            )
-        print(f"\nwrote {args.out}")
+        )
+    os.replace(tmp, args.out)
 
 
 if __name__ == "__main__":
