@@ -456,13 +456,28 @@ def pairwise_exact_emd_matrix(
 
     out = np.empty((G, R), np.float64)
     if backend == "host":
-        for i in range(G):
-            xs = np.broadcast_to(gen[i], (R,) + gen[i].shape)
-            out[i] = np.asarray(
-                [_hungarian_emd_pair(x, y) for x, y in zip(xs, ref)]
-            )
-            if progress:
-                print(f"[exact-emd host] row {i + 1}/{G}", flush=True)
+        # Fan the independent pair solves over every host core: the native
+        # ctypes call and scipy's linear_sum_assignment both release the
+        # GIL, so the O(n^3) per-pair floor divides by the core count
+        # (measured saturation: benchmarks/bench_emd.py --threads).
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = max(1, min(_os.cpu_count() or 1, R))
+        with ThreadPoolExecutor(workers) as ex:
+            for i in range(G):
+                out[i] = np.fromiter(
+                    ex.map(
+                        lambda y, x=gen[i]: _hungarian_emd_pair(x, y), ref
+                    ),
+                    np.float64,
+                    count=R,
+                )
+                if progress:
+                    print(
+                        f"[exact-emd host] row {i + 1}/{G} "
+                        f"({workers} threads)", flush=True,
+                    )
         return out
 
     from shapegen_tpu.ops.auction import auction_emd_pairs
